@@ -1,0 +1,174 @@
+"""ConsistencyChecker — two-table COUNT / DIFF comparisons, distributed.
+
+Reference: contessa/consistency_checker.py:45-256. The reference
+fetches BOTH tables fully into driver-side Python lists and compares
+Python sets (consistency_checker.py:227-231 — its scalability cliff).
+Here both sides stay DataFrames and the comparison is a distributed
+``intersect`` / ``subtract`` (shuffle-based set ops), so DIFF works at
+any scale; only the final counters reach the driver.
+
+Exact parity carried over:
+
+* COUNT: ``passed = min(l, r)``, ``failed = l - r`` (SIGNED),
+  ``total = max(l, r)``, valid iff failed == 0; the persisted
+  percentage uses ``abs(failed)`` (consistency_checker.py:170-180,
+  models.py:360-362);
+* DIFF: column list defaults to the RIGHT table's columns sorted by
+  name (order-insensitive comparison, consistency_checker.py:134-142);
+  ``passed = |L ∩ R|``, ``failed = |L △ R|``, ``total = passed +
+  failed`` — Python-set (distinct) semantics;
+* custom SQL per side forbids ``columns``/``time_filter``
+  (consistency_checker.py:58-62);
+* automatic time filter = ``min(since_column)`` of the left table
+  (consistency_checker.py:240-256).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from contessa_spark.results import CheckResult
+from contessa_spark.time_filter import (
+    TimeFilter,
+    TimeFilterColumn,
+    TimeFilterConjunction,
+)
+from contessa_spark.utils import AggregatedResult, render_jinja_sql
+
+
+class ConsistencyChecker:
+    COUNT = "count"
+    DIFF = "diff"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def run(
+        self,
+        method: str,
+        left_df: DataFrame,
+        right_df: DataFrame,
+        columns: Optional[List[str]] = None,
+        time_filter=None,
+        left_sql: Optional[str] = None,
+        right_sql: Optional[str] = None,
+        context: Optional[Dict] = None,
+        left_table_name: str = "left",
+        right_table_name: str = "right",
+        collect_examples: int = 10,
+    ) -> CheckResult:
+        if (left_sql or right_sql) and (columns or time_filter):
+            # consistency_checker.py:58-62
+            raise ValueError(
+                "When using custom sql you cannot use `columns` or `time_filter`"
+            )
+        ctx = {"task_ts": datetime.now()}
+        if context:
+            ctx.update(context)
+        task_ts = ctx["task_ts"]
+
+        left = self._side(left_df, left_sql, method, columns, time_filter, task_ts, right_df, ctx)
+        right = self._side(right_df, right_sql, method, columns, time_filter, task_ts, right_df, ctx)
+
+        if method == self.COUNT:
+            results = self._compare_counts(left, right)
+        elif method == self.DIFF:
+            results = self._compare_diff(left, right, collect_examples)
+        else:
+            raise NotImplementedError(f"Method {method} not implemented")
+
+        cr = CheckResult()
+        cr.init_row_consistency(
+            {"type": method, "name": "consistency", "description": ""},
+            results,
+            left_table_name,
+            right_table_name,
+            time_filter=time_filter,
+            context=ctx,
+        )
+        return cr
+
+    def _side(
+        self,
+        df: DataFrame,
+        custom_sql: Optional[str],
+        method: str,
+        columns: Optional[List[str]],
+        time_filter,
+        task_ts: datetime,
+        right_df: DataFrame,
+        ctx: Dict,
+    ) -> DataFrame:
+        if custom_sql:
+            return self.spark.sql(render_jinja_sql(custom_sql, ctx))
+        if time_filter is not None and isinstance(time_filter, TimeFilter):
+            df = df.where(time_filter.predicate(task_ts))
+        if method == self.COUNT:
+            if columns:
+                # count(c1, c2, ...) counts rows where all cols non-null
+                cond = None
+                for c in columns:
+                    p = F.col(c).isNotNull()
+                    cond = p if cond is None else (cond & p)
+                return df.agg(F.count(F.when(cond, F.lit(1))).alias("cnt"))
+            return df.agg(F.count(F.lit(1)).alias("cnt"))
+        # DIFF: explicit column list, defaulting to right side's columns
+        # sorted by name (order-insensitive, consistency_checker.py:134-142)
+        cols = columns or sorted(right_df.columns)
+        return df.select(*cols)
+
+    @staticmethod
+    def _compare_counts(left: DataFrame, right: DataFrame) -> AggregatedResult:
+        l = left.collect()[0][0]
+        r = right.collect()[0][0]
+        passed = min(l, r)
+        failed = (l - passed) - (r - passed)  # signed, = l - r
+        return AggregatedResult(total_records=max(l, r), failed=failed, passed=passed)
+
+    @staticmethod
+    def _compare_diff(
+        left: DataFrame, right: DataFrame, collect_examples: int
+    ) -> AggregatedResult:
+        # Python-set semantics ⇒ distinct set ops. intersect/subtract are
+        # Spark's SQL INTERSECT/EXCEPT (distinct); each is one hash
+        # aggregate + shuffle — no driver materialization.
+        common = left.intersect(right).count()
+        only_left = left.subtract(right).count()
+        only_right = right.subtract(left).count()
+        failed = only_left + only_right
+        examples = []
+        if collect_examples and failed:
+            examples = [
+                tuple(r)
+                for r in left.subtract(right)
+                .unionByName(right.subtract(left))
+                .limit(collect_examples)
+                .collect()
+            ]
+        return AggregatedResult(
+            total_records=common + failed,
+            failed=failed,
+            passed=common,
+            failed_example=examples,
+        )
+
+    def construct_automatic_time_filter(
+        self,
+        left_df: DataFrame,
+        created_at_column: Optional[str] = None,
+        updated_at_column: Optional[str] = None,
+    ) -> TimeFilter:
+        """consistency_checker.py:240-256 — window starts at
+        min(since_column) of the left table."""
+        if created_at_column is None and updated_at_column is None:
+            raise ValueError("Automatic time filter need at least one time column")
+        since_column = updated_at_column or created_at_column
+        since = left_df.agg(F.min(since_column)).collect()[0][0]
+        return TimeFilter(
+            columns=[TimeFilterColumn(since_column, since=since)],
+            conjunction=TimeFilterConjunction.AND,
+        )
