@@ -1,0 +1,97 @@
+"""Hash-ngram word-bigram perplexity scorer (KenLM-in-spirit).
+
+A CCNet-style quality signal (Wenzek et al. 2020, "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data" uses KenLM
+perplexity to rank web text): train a tiny interpolated word
+uni/bigram LM on the clean multilingual seed corpora, hashed into
+fixed buckets; score = exp(-mean log p) over a document's word
+bigrams. Clean in-domain prose scores low; gibberish, boilerplate and
+symbol soup score high.
+
+Pure core (numpy, deterministic, model built at import) + a scalar
+pandas UDF binding. Shared verbatim with the test oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from contessa_spark.functions.langid import SEED_CORPORA
+
+N_UNI = 1 << 15
+N_BI = 1 << 17
+_MASK_UNI = N_UNI - 1
+_MASK_BI = N_BI - 1
+
+# interpolation weight bigram vs unigram
+_LAMBDA = 0.7
+
+
+def _hash_word(w: str) -> int:
+    # FNV-1a over utf-8 bytes — stable across processes (unlike hash())
+    h = 2166136261
+    for byte in w.encode("utf-8", "ignore"):
+        h = ((h ^ byte) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def _tokens(text: str) -> List[str]:
+    return text.lower().split()
+
+
+def _build_counts():
+    uni = np.zeros(N_UNI, dtype=np.float64)
+    bi = np.zeros(N_BI, dtype=np.float64)
+    for corpus in SEED_CORPORA.values():
+        toks = _tokens(corpus)
+        hs = [_hash_word(w) for w in toks]
+        for h in hs:
+            uni[h & _MASK_UNI] += 1
+        for a, b in zip(hs, hs[1:]):
+            bi[(a * 1000003 + b) & _MASK_BI] += 1
+    return uni, bi
+
+
+_UNI, _BI = _build_counts()
+_UNI_TOTAL = _UNI.sum()
+_LOG_P_UNI = np.log((_UNI + 0.1) / (_UNI_TOTAL + 0.1 * N_UNI))
+
+
+def perplexity(text: str) -> float:
+    """exp(-mean log p(w_i | w_{i-1})) with bigram→unigram interpolation.
+
+    Empty/one-word documents get the unigram-only score; empty text →
+    a fixed high sentinel (1e6).
+    """
+    toks = _tokens(text)
+    if not toks:
+        return 1.0e6
+    hs = np.array([_hash_word(w) for w in toks], dtype=np.int64)
+    uni_lp = _LOG_P_UNI[hs & _MASK_UNI]
+    if len(toks) == 1:
+        return float(np.exp(-uni_lp.mean()))
+    bi_idx = (hs[:-1] * 1000003 + hs[1:]) & _MASK_BI
+    bi_c = _BI[bi_idx]
+    uni_c = _UNI[hs[:-1] & _MASK_UNI]
+    # p(w_i | w_{i-1}) ≈ λ·(bi/(uni_prev+1)) + (1-λ)·p_uni(w_i)
+    p = _LAMBDA * (bi_c / (uni_c + 1.0)) + (1.0 - _LAMBDA) * np.exp(uni_lp[1:])
+    lp = np.log(np.maximum(p, 1e-12))
+    return float(np.exp(-lp.mean()))
+
+
+def perplexity_batch(texts) -> List[float]:
+    return [perplexity(t if isinstance(t, str) else "") for t in texts]
+
+
+def spark_udf():
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _ppl(texts):
+        return pd.Series(perplexity_batch(texts.fillna("")), dtype="float64")
+
+    _ppl.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_ppl, T.DoubleType())

@@ -1,0 +1,116 @@
+"""C4/Gopher-style heuristic text statistics.
+
+Signals (Raffel et al. 2020 §2.2 "C4"; Rae et al. 2021 Gopher §A1.1):
+document length, symbol ratio, word repetition, stop-word fraction,
+mean word length. Each has TWO implementations that must agree
+exactly:
+
+* a Spark ``Column`` expression (JVM-side, whole-stage-codegen — the
+  hot path; no Python involved), and
+* a pure-Python function used by the test oracle.
+
+Tokenization is "split on whitespace runs, drop empties" in both.
+The letter class includes Latin-1 accents so de/fr/es/it/cs text is
+not penalized as symbols.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+from contessa_spark.functions.langid import SEED_CORPORA
+
+# ---- shared constants ------------------------------------------------
+
+_LETTER_CLASS = r"[A-Za-zÀ-ÿ0-9\s]"
+_SYMBOL_RE = re.compile(_LETTER_CLASS)
+
+# stop words: the 25 most frequent tokens of each language's seed
+# corpus, unioned — deterministic, derived, multi-language.
+def _build_stopwords() -> List[str]:
+    stops = set()
+    for corpus in SEED_CORPORA.values():
+        freq: Dict[str, int] = {}
+        for w in corpus.split():
+            freq[w] = freq.get(w, 0) + 1
+        top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        stops.update(w for w, _ in top)
+    return sorted(stops)
+
+
+STOPWORDS: List[str] = _build_stopwords()
+_STOPSET = set(STOPWORDS)
+
+
+# ---- pure-python cores (test oracle) --------------------------------
+
+def py_tokens(text: str) -> List[str]:
+    return text.split()
+
+
+def py_n_chars(text: str) -> int:
+    return len(text)
+
+
+def py_symbol_ratio(text: str) -> float:
+    if not text:
+        return 1.0
+    return len(_SYMBOL_RE.sub("", text)) / len(text)
+
+
+def py_repetition(text: str) -> float:
+    toks = py_tokens(text)
+    if not toks:
+        return 1.0
+    return 1.0 - len(set(toks)) / len(toks)
+
+
+def py_stopword_frac(text: str) -> float:
+    toks = py_tokens(text)
+    if not toks:
+        return 0.0
+    return sum(1 for t in toks if t.lower() in _STOPSET) / len(toks)
+
+
+def py_mean_word_len(text: str) -> float:
+    toks = py_tokens(text)
+    if not toks:
+        return 0.0
+    return sum(len(t) for t in toks) / len(toks)
+
+
+# ---- Spark Column builders (the engine path) -------------------------
+
+def spark_stat_columns(text_col: str = "text"):
+    """dict of stat-name → Column, all JVM-side (no UDF).
+
+    ``words`` uses split + filter-empty, matching ``str.split()``.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    stops = F.lit(STOPWORDS)  # array literal, broadcast by codegen
+
+    return {
+        "n_chars": F.length(c).cast("long"),
+        "symbol_ratio": F.when(F.length(c) == 0, F.lit(1.0)).otherwise(
+            F.length(F.regexp_replace(c, _LETTER_CLASS, ""))
+            / F.length(c).cast("double")
+        ),
+        "repetition": F.when(n_words == 0, F.lit(1.0)).otherwise(
+            1.0 - F.size(F.array_distinct(words)) / n_words.cast("double")
+        ),
+        "stopword_frac": F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(words, lambda w: F.array_contains(stops, F.lower(w))))
+            / n_words.cast("double")
+        ),
+        "mean_word_len": F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            )
+            / n_words.cast("double")
+        ),
+    }

@@ -229,6 +229,22 @@ class CustomSqlRule(OneColumnRule):
         return spark.sql(render_jinja_sql(final_sql, ctx))
 
 
+class ExprRule(OneColumnRule):
+    """Arbitrary boolean SQL *expression* (not a full query) evaluated
+    per row — the Spark-native analogue of subclassing ``SqlRule`` with
+    a custom ``sql`` property (the reference's documented extension
+    point, test/integration/test_rules.py:299-344). Unlike
+    CustomSqlRule it participates in the single-scan multi-rule agg.
+    """
+
+    def __init__(self, name, type, column, expression, description, **kw):
+        super().__init__(name, type, column, description=description, **kw)
+        self.expression = expression
+
+    def predicate(self) -> Column:
+        return F.expr(self.expression)
+
+
 # registry (contessa/rules.py:305-324)
 RULES = {
     NOT_NULL: NotNullRule,
@@ -239,6 +255,7 @@ RULES = {
     LTE: LteRule,
     EQ: EqRule,
     SQL: CustomSqlRule,
+    "expr": ExprRule,
 }
 
 
