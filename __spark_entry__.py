@@ -1,38 +1,477 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: the contessa-DSL quality-check run over
+                     the sf0.001 documents table (annotation UDFs +
+                     single-scan multi-rule counters).
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data ops); each takes (spark, sf_dir).
+``oracle_sql()``   — DuckDB-equivalent SQL per query where the
+                     semantics are SQL-expressible; model-based /
+                     approximate ops (langid, scrub, minhash, simhash,
+                     LSH/IVF ANN) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TASK_TS = datetime(2024, 2, 1, 12, 0, 0)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: annotate documents (langid UDF + JVM
+    heuristics) and evaluate the full DSL rule set in one scan."""
+    from contessa_spark.compiler import counters_df
+    from contessa_spark.functions import langid
+    from contessa_spark.functions.textstats import spark_stat_columns
+    from contessa_spark.runner import QualityRunner
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    annotated = docs.withColumn("_lid", langid.spark_udf()(F.col("text")))
+    annotated = annotated.withColumn("lang_pred", F.col("_lid.lang_pred")).withColumn(
+        "lang_conf", F.col("_lid.lang_conf")
+    )
+    for name, col in spark_stat_columns("text").items():
+        annotated = annotated.withColumn(name, col)
+    rules = QualityRunner.build_rules(
+        [
+            {"name": "text_not_null", "type": "not_null", "column": "text"},
+            {"name": "min_len", "type": "gte", "column": "n_chars", "value": 100},
+            {"name": "symbol_lt", "type": "lt", "column": "symbol_ratio", "value": 0.15},
+            {"name": "repetition_lt", "type": "lt", "column": "repetition", "value": 0.9},
+            {
+                "name": "lang_agrees",
+                "type": "expr",
+                "column": "lang_pred",
+                "expression": "lang_pred = lang",
+                "description": "langid agrees with tag",
+            },
+        ]
+    )
+    return counters_df(annotated, rules, TASK_TS)
+
+
+# ------------------------------------------------------------- queries
+
+def _rule_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.compiler import counters_df
+    from contessa_spark.runner import QualityRunner
+
+    li = _load(spark, sf_dir, "lineitem")
+    rules = QualityRunner.build_rules(
+        [
+            {"name": "nn", "type": "not_null", "column": "l_orderkey"},
+            {"name": "qty_gt", "type": "gt", "column": "l_quantity", "value": 25},
+            {"name": "qty_gte", "type": "gte", "column": "l_quantity", "value": 25},
+            {"name": "disc_lt_tax", "type": "lt", "column": "l_discount", "value": "l_tax"},
+            {"name": "price_lte", "type": "lte", "column": "l_extendedprice", "value": 30000},
+            {"name": "flag_eq", "type": "eq", "column": "l_returnflag", "value": "'N'"},
+            {"name": "status_not", "type": "not", "column": "l_linestatus", "value": "'O'"},
+        ]
+    )
+    return counters_df(li, rules, TASK_TS)
+
+
+def _rule_time_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.compiler import counters_df
+    from contessa_spark.runner import QualityRunner
+    from contessa_spark.time_filter import TimeFilter, TimeFilterColumn
+
+    ev = _load(spark, sf_dir, "events")
+    tf = TimeFilter(
+        columns=[
+            TimeFilterColumn(
+                "ts", since=datetime(2024, 1, 5), until=datetime(2024, 1, 15)
+            )
+        ]
+    )
+    rules = QualityRunner.build_rules(
+        [
+            {
+                "name": "value_gt0",
+                "type": "gt",
+                "column": "value",
+                "value": 0,
+                "time_filter": tf,
+                "condition": "event_type IN ('click', 'view')",
+            }
+        ]
+    )
+    return counters_df(ev, rules, TASK_TS)
+
+
+def _consistency_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.consistency import ConsistencyChecker
+
+    return ConsistencyChecker.count_compare_df(
+        _load(spark, sf_dir, "orders"), _load(spark, sf_dir, "lineitem")
+    )
+
+
+def _consistency_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.consistency import ConsistencyChecker
+
+    left = _load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    right = _load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return ConsistencyChecker.diff_compare_df(left, right)
+
+
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import token_counts
+
+    return token_counts(_load(spark, sf_dir, "documents"))
+
+
+def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import quality_scores
+
+    return quality_scores(_load(spark, sf_dir, "documents"))
+
+
+def _doc_keep_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.functions.textstats import spark_stat_columns
+
+    docs = _load(spark, sf_dir, "documents")
+    stats = spark_stat_columns("text")
+    keep = (
+        (stats["n_chars"] >= 100)
+        & (stats["n_chars"] <= 20000)
+        & (stats["symbol_ratio"] < 0.15)
+        & (stats["repetition"] < 0.9)
+        & (stats["stopword_frac"] > 0.01)
+        & (stats["mean_word_len"] >= 2.5)
+        & (stats["mean_word_len"] <= 10.0)
+    )
+    return docs.select("doc_id", keep.alias("keep"))
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import fingerprints
+
+    return fingerprints(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import detect_language
+
+    return detect_language(_load(spark, sf_dir, "documents"))
+
+
+def _doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.functions import scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    s = scrub.spark_udf()
+    return docs.select(
+        "doc_id",
+        s(F.col("text")).getField("scrubbed_text").alias("scrubbed_text"),
+        s(F.col("text")).getField("pii_changed").alias("pii_changed"),
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.1
+    )
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _load(spark, sf_dir, "documents"), k=3, n_hashes=32, bands=16, threshold=0.1
+    )
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_load(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        _load(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def _ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return hyperplane_lsh_topk(emb, queries_df, k=5, dim=16, n_bits=6, n_tables=6)
+
+
+def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3)
+
+
+def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from contessa_spark.operators.multimodal import decode_images, fake_image_bytes
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def make_media(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        fake_image_bytes(16 + i % 64, 16 + i % 32, i % 256)
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make_media, schema="media_id long, payload binary")
+    return decode_images(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rule_counts_lineitem": _rule_counts_lineitem,
+        "rule_time_filter_events": _rule_time_filter_events,
+        "consistency_count": _consistency_count,
+        "consistency_diff": _consistency_diff,
+        "doc_token_counts": _doc_token_counts,
+        "doc_quality_scores": _doc_quality_scores,
+        "doc_keep_heuristic": _doc_keep_heuristic,
+        "doc_fingerprints": _doc_fingerprints,
+        "doc_langid": _doc_langid,
+        "doc_scrub": _doc_scrub,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "embedding_near_dups": _embedding_near_dups,
+        "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
+        "events_hourly_rollup": _events_hourly_rollup,
+        "media_decode": _media_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL
+
+def _stopword_array_sql() -> str:
+    from contessa_spark.functions.textstats import STOPWORDS
+
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS) + "]"
+
+
+_RULE_CASES = [
+    # (attribute, rule_name, rule_type, pass-predicate SQL)
+    ("l_orderkey", "nn", "not_null", "l_orderkey IS NOT NULL"),
+    ("l_quantity", "qty_gt", "gt", "l_quantity > 25"),
+    ("l_quantity", "qty_gte", "gte", "l_quantity >= 25"),
+    ("l_discount", "disc_lt_tax", "lt", "l_discount < l_tax"),
+    ("l_extendedprice", "price_lte", "lte", "l_extendedprice <= 30000"),
+    ("l_returnflag", "flag_eq", "eq", "l_returnflag IS NOT DISTINCT FROM 'N'"),
+    ("l_linestatus", "status_not", "not", "l_linestatus IS DISTINCT FROM 'O'"),
+]
+
+
+def _rule_counts_oracle() -> str:
+    parts = []
+    for attr, name, typ, pred in _RULE_CASES:
+        parts.append(
+            f"SELECT '{attr}' AS attribute, '{name}' AS rule_name, '{typ}' AS rule_type, "
+            f"count(*)::BIGINT AS total_records, "
+            f"count(*) FILTER (WHERE NOT ({pred}))::BIGINT AS failed, "
+            f"count(*) FILTER (WHERE ({pred}))::BIGINT AS passed, "
+            f"CASE WHEN count(*) FILTER (WHERE NOT ({pred})) > 0 THEN 'invalid' ELSE 'valid' END AS status "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_TEXTSTATS_CTE = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    CASE WHEN length(text) = 0 THEN 1.0
+         ELSE length(regexp_replace(text, '[A-Za-zÀ-ÿ0-9\\s]', '', 'g')) / length(text) END AS symbol_ratio,
+    CASE WHEN len(ws) = 0 THEN 1.0
+         ELSE 1.0 - len(list_distinct(ws)) / len(ws) END AS repetition,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE len(list_filter(ws, x -> list_contains({stops}, lower(x)))) / len(ws) END AS stopword_frac,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE list_sum(list_transform(ws, x -> length(x))) / len(ws) END AS mean_word_len
+  FROM w
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stops = _stopword_array_sql()
+    textstats = _TEXTSTATS_CTE.format(stops=stops)
+    return {
+        "rule_counts_lineitem": _rule_counts_oracle(),
+        "rule_time_filter_events": (
+            "SELECT 'value' AS attribute, 'value_gt0' AS rule_name, 'gt' AS rule_type, "
+            "count(*)::BIGINT AS total_records, "
+            "count(*) FILTER (WHERE NOT (value > 0))::BIGINT AS failed, "
+            "count(*) FILTER (WHERE value > 0)::BIGINT AS passed, "
+            "CASE WHEN count(*) FILTER (WHERE NOT (value > 0)) > 0 THEN 'invalid' ELSE 'valid' END AS status "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15' "
+            "AND event_type IN ('click', 'view')"
+        ),
+        "consistency_count": (
+            "SELECT greatest(l, r)::BIGINT AS total_records, (l - r)::BIGINT AS failed, "
+            "least(l, r)::BIGINT AS passed, "
+            "CASE WHEN l <> r THEN 'invalid' ELSE 'valid' END AS status "
+            "FROM (SELECT (SELECT count(*) FROM orders) AS l, (SELECT count(*) FROM lineitem) AS r)"
+        ),
+        "consistency_diff": (
+            "WITH p AS (SELECT count(*) AS passed FROM "
+            " (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)), "
+            "fl AS (SELECT count(*) AS fl FROM "
+            " (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)), "
+            "fr AS (SELECT count(*) AS fr FROM "
+            " (SELECT o_custkey FROM orders EXCEPT SELECT c_custkey FROM customer)) "
+            "SELECT (passed + fl + fr)::BIGINT AS total_records, (fl + fr)::BIGINT AS failed, "
+            "passed::BIGINT AS passed, "
+            "CASE WHEN fl + fr > 0 THEN 'invalid' ELSE 'valid' END AS status "
+            "FROM p, fl, fr"
+        ),
+        "doc_token_counts": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\\s]'))::BIGINT AS bpeish_tokens, "
+            "length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "doc_quality_scores": textstats + (
+            "SELECT doc_id, n_chars, round(symbol_ratio, 6) AS symbol_ratio, "
+            "round(repetition, 6) AS repetition, round(stopword_frac, 6) AS stopword_frac, "
+            "round(mean_word_len, 6) AS mean_word_len, "
+            "round((least(n_chars / 200.0, 1.0) + (1.0 - least(symbol_ratio / 0.15, 1.0)) "
+            " + (1.0 - least(repetition / 0.85, 1.0)) + least(stopword_frac / 0.10, 1.0)) / 4.0, 6) "
+            "AS quality_score FROM s"
+        ),
+        "doc_keep_heuristic": textstats + (
+            "SELECT doc_id, (n_chars >= 100 AND n_chars <= 20000 AND symbol_ratio < 0.15 "
+            "AND repetition < 0.9 AND stopword_frac > 0.01 "
+            "AND mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS keep FROM s"
+        ),
+        "doc_fingerprints": (
+            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "AS fingerprint FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, "
+            " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
+            " for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS shingles FROM w), "
+            "e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh) "
+            "SELECT id_a, id_b, round(j, 6) AS jaccard FROM ("
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j "
+            " FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id "
+            " GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.1"
+        ),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        ),
+        "ann_topk_bruteforce": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            " round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine "
+            " FROM q, embeddings c WHERE c.vec_id <> q.vec_id) "
+            "SELECT query_id, neighbor_id, cosine, rank FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY query_id "
+            "  ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank FROM s) WHERE rank <= 5"
+        ),
+        "events_hourly_rollup": (
+            "SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS hour_epoch, "
+            "event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "media_decode": (
+            "SELECT doc_id AS media_id, (16 + doc_id % 64)::INT AS width, "
+            "(16 + doc_id % 32)::INT AS height, (doc_id % 256)::INT AS mean_byte, "
+            "true AS ok, "
+            "(17 + ((16 + doc_id % 64) * (16 + doc_id % 32)) % 4096)::BIGINT AS n_bytes "
+            "FROM documents"
+        ),
+        # doc_langid, doc_scrub, dedup_minhash_lsh, dedup_simhash,
+        # ann_topk_lsh, ann_topk_ivf: model-based / approximate —
+        # intentionally rows-only (no ANSI-SQL-expressible oracle).
+    }

@@ -124,6 +124,37 @@ def run_column_rules(
     return results
 
 
+def counters_df(
+    df: DataFrame, rules: Sequence[OneColumnRule], task_ts: datetime
+) -> DataFrame:
+    """Fully declarative variant of run_column_rules: ONE scan, 3N
+    counters, reshaped to one row per rule with ``stack`` — no driver
+    collect, so it composes into larger plans and the driver/oracle
+    correctness harness can hash it directly.
+
+    Output: (attribute, rule_name, rule_type, total_records, failed,
+    passed, status).
+    """
+    aggs: List[Column] = []
+    for i, rule in enumerate(rules):
+        aggs.extend(compile_counters(rule, task_ts, i))
+    one = df.agg(*aggs)
+    parts = []
+    for i, rule in enumerate(rules):
+        parts.append(
+            f"'{rule.attribute}', '{rule.name}', '{rule.type}', "
+            f"total_{i}, failed_{i}, passed_{i}"
+        )
+    stacked = one.selectExpr(
+        f"stack({len(rules)}, {', '.join(parts)}) AS "
+        f"(attribute, rule_name, rule_type, total_records, failed, passed)"
+    )
+    return stacked.withColumn(
+        "status",
+        F.when(F.col("failed") > 0, F.lit("invalid")).otherwise(F.lit("valid")),
+    )
+
+
 def run_custom_sql_rule(
     spark: SparkSession,
     rule: CustomSqlRule,

@@ -156,6 +156,42 @@ class ConsistencyChecker:
             failed_example=examples,
         )
 
+    # -- declarative variants (no driver collect; used by the oracle
+    # -- correctness harness and composable into larger plans) --------
+
+    @staticmethod
+    def count_compare_df(left: DataFrame, right: DataFrame) -> DataFrame:
+        """One-row DataFrame with the COUNT-method comparison
+        (passed=min, failed=signed l−r, total=max, status)."""
+        l = left.agg(F.count(F.lit(1)).alias("l"))
+        r = right.agg(F.count(F.lit(1)).alias("r"))
+        row = l.crossJoin(r)
+        return row.select(
+            F.greatest("l", "r").alias("total_records"),
+            (F.col("l") - F.col("r")).alias("failed"),
+            F.least("l", "r").alias("passed"),
+            F.when(F.col("l") - F.col("r") != 0, F.lit("invalid"))
+            .otherwise(F.lit("valid"))
+            .alias("status"),
+        )
+
+    @staticmethod
+    def diff_compare_df(left: DataFrame, right: DataFrame) -> DataFrame:
+        """One-row DataFrame with the DIFF-method comparison (set
+        semantics): passed=|L∩R|, failed=|L△R|, total=sum, status."""
+        common = left.intersect(right).agg(F.count(F.lit(1)).alias("passed"))
+        only_l = left.subtract(right).agg(F.count(F.lit(1)).alias("fl"))
+        only_r = right.subtract(left).agg(F.count(F.lit(1)).alias("fr"))
+        row = common.crossJoin(only_l).crossJoin(only_r)
+        return row.select(
+            (F.col("passed") + F.col("fl") + F.col("fr")).alias("total_records"),
+            (F.col("fl") + F.col("fr")).alias("failed"),
+            F.col("passed"),
+            F.when(F.col("fl") + F.col("fr") > 0, F.lit("invalid"))
+            .otherwise(F.lit("valid"))
+            .alias("status"),
+        )
+
     def construct_automatic_time_filter(
         self,
         left_df: DataFrame,

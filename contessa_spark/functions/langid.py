@@ -155,8 +155,11 @@ def detect(text: str) -> Tuple[str, float]:
     h = _trigram_hashes(text)
     if h.size == 0:
         return "und", 0.0
-    # mean per-trigram log-likelihood per language
-    scores = _PROFILES[:, h].mean(axis=1)
+    # mean per-trigram log-likelihood per language, computed as a
+    # (langs × uniq) · counts matvec — identical math to gathering all
+    # trigrams, ~2× cheaper since web text repeats trigrams heavily
+    uniq, counts = np.unique(h, return_counts=True)
+    scores = (_PROFILES[:, uniq] @ counts.astype(np.float64)) / h.size
     order = np.argsort(scores)[::-1]
     best, second = scores[order[0]], scores[order[1]]
     # softmax margin on the per-trigram scale → crisp for real text

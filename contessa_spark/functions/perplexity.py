@@ -29,11 +29,27 @@ _MASK_BI = N_BI - 1
 _LAMBDA = 0.7
 
 
-def _hash_word(w: str) -> int:
+def _fnv1a(w: str) -> int:
     # FNV-1a over utf-8 bytes — stable across processes (unlike hash())
     h = 2166136261
     for byte in w.encode("utf-8", "ignore"):
         h = ((h ^ byte) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+# word→hash memo: natural text is Zipf-distributed, so the hit rate is
+# high and the pure-python FNV loop (the profile hotspot) almost never
+# runs. Purely a cache of a deterministic function — results unchanged.
+_HASH_MEMO: dict = {}
+_HASH_MEMO_MAX = 1 << 20
+
+
+def _hash_word(w: str) -> int:
+    h = _HASH_MEMO.get(w)
+    if h is None:
+        if len(_HASH_MEMO) >= _HASH_MEMO_MAX:
+            _HASH_MEMO.clear()
+        h = _HASH_MEMO[w] = _fnv1a(w)
     return h
 
 

@@ -82,15 +82,26 @@ def py_mean_word_len(text: str) -> float:
 
 # ---- Spark Column builders (the engine path) -------------------------
 
-def spark_stat_columns(text_col: str = "text"):
+def spark_words_col(text_col: str = "text"):
+    """split-on-whitespace-runs, drop empties — matches ``str.split()``."""
+    from pyspark.sql import functions as F
+
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def spark_stat_columns(text_col: str = "text", words_col: str = None):
     """dict of stat-name → Column, all JVM-side (no UDF).
 
-    ``words`` uses split + filter-empty, matching ``str.split()``.
+    Pass ``words_col`` (a pre-materialized array column from
+    ``spark_words_col``) when computing several stats over one table:
+    each higher-order lambda otherwise embeds its own copy of the
+    split, and codegen does not CSE across lambdas — the expression
+    tree (and compile + eval time) grows ~4× without it.
     """
     from pyspark.sql import functions as F
 
     c = F.col(text_col)
-    words = F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+    words = F.col(words_col) if words_col else spark_words_col(text_col)
     n_words = F.size(words)
     stops = F.lit(STOPWORDS)  # array literal, broadcast by codegen
 

@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+All deterministic (hash-based, no RNG), all shuffle-conscious:
+
+* exact: one hash-aggregate on a fingerprint column — the canonical
+  web-dedup first pass (URL- or content-keyed);
+* n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  index (explode → self-join on shingle → group by pair) — never a
+  cross join;
+* MinHash+LSH: signatures and banding entirely in JVM expressions
+  (xxhash64 + array ops), candidate pairs from band-bucket self-join,
+  then exact-Jaccard verification — the scale path (Broder 1997;
+  Leskovec/Rajaraman/Ullman ch.3);
+* SimHash (Charikar 2002; Manku et al. WWW'07): 64-bit signature via a
+  vectorized pandas UDF, near-dup = Hamming distance ≤ k on rotated
+  band keys;
+* embedding cosine: LSH-bucketed or brute pair join over `array<float>`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def fingerprint_col(text_col: str = "text") -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. JVM-side."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct normalized text.
+
+    One shuffle on the fingerprint (hash partitioning); AQE coalesces
+    and splits skewed groups. At 100 TB: fingerprint is 16 bytes/row —
+    the shuffle moves fingerprints + ids only if you project first,
+    which this does (join back for payload).
+    """
+    fp = df.select(F.col(id_col), fingerprint_col(text_col).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col)).drop("fp")
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fp, dup_count, keep_id) for groups with >1 member."""
+    return (
+        df.select(fingerprint_col(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingle_col(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles as array<string>. JVM-side:
+    split → sequence → transform(slice → concat_ws)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    # guard: sequence(1, x<1) would count DOWN in Spark
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word-k-gram shingle sets for every pair
+    sharing ≥1 shingle.
+
+    Plan: shingle inverted index (explode) → self-join on shingle
+    (co-partitioned shuffle join, NOT a cross join) → count common
+    shingles per pair → |A∪B| = |A|+|B|−common. Pairs with no shared
+    shingle never materialize, so cost tracks true near-dup density.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingle_col(text_col, k).alias("_sh")
+    ).withColumn("_n", F.size("_sh"))
+    inv = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
+    a = inv.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("na"), F.col("_s")
+    )
+    b = inv.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("nb"), F.col("_s")
+    )
+    pairs = (
+        a.join(b, "_s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------- MinHash+LSH
+
+def minhash_signature(
+    shingles: Column, n_hashes: int = 64
+) -> Column:
+    """array<long> of n minhashes — min over xxhash64(shingle, seed_j).
+    Pure JVM; deterministic across partitionings."""
+    sigs = [
+        F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j)))
+        )
+        for j in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash → band → bucket-join → exact-Jaccard verify.
+
+    Collision probability for a pair with Jaccard s is
+    1 − (1 − s^r)^b with r = n_hashes/bands rows per band; at
+    (64, 16) the S-curve crosses ~0.77 — tuned for threshold 0.8.
+    The band-bucket self-join shuffles (band_idx, band_key) — tiny
+    rows — and only candidate pairs are verified against true shingle
+    sets. This is the plan that survives 10^12 docs; the exact
+    ``ngram_jaccard_pairs`` inverted index is the small-scale oracle.
+    """
+    r = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), shingle_col(text_col, k).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+
+    band_entries = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("_sig", i * r + j + 1).cast("string") for j in range(r)]
+                            )
+                        ).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+
+    left = band_entries.select(F.col("_id").alias("id_a"), "band", "key")
+    right = band_entries.select(F.col("_id").alias("id_b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify: join shingle sets back, exact jaccard via array ops
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash_udf(n_bits: int = 64):
+    """pandas UDF: text → 64-bit simhash (as long). Word-level FNV
+    hashes, bit-majority vote — deterministic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _fnv(w: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in w.encode("utf-8", "ignore"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def _simhash(texts):
+        out = []
+        for t in texts.fillna(""):
+            words = t.lower().split()
+            if not words:
+                out.append(0)
+                continue
+            acc = np.zeros(n_bits, dtype=np.int64)
+            for w in words:
+                h = _fnv(w)
+                bits = (h >> np.arange(n_bits, dtype=np.uint64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            sig = 0
+            for i in range(n_bits):
+                if acc[i] > 0:
+                    sig |= 1 << i
+            # two's-complement into signed 64-bit for Spark LongType
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    import pandas as pd  # noqa: F811
+
+    _simhash.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_simhash, T.LongType())
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Block by rotating 16-bit band keys (4 bands: any pair within
+    Hamming ≤ 3 shares at least one exact band — pigeonhole), then
+    verify distance with bit_count(xor). Self-join is on band keys,
+    never a cross join.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sim"))
+    bands = 4
+    width = 16
+    entries = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sim"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sim", "bk.band", "bk.key")
+    left = entries.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "band", "key")
+    right = entries.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — pure JVM
+    (zip_with + aggregate), no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    ids: Optional[List[int]] = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs. Brute pair join (id_a < id_b) — the
+    exactness baseline; at scale use similarity.hyperplane_lsh_join to
+    bucket first (same verify step)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if ids is not None:
+        base = base.where(F.col("_id").isin(ids))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

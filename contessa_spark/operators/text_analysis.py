@@ -1,0 +1,88 @@
+"""Text-analysis operators over a documents table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+JVM Column expressions wherever SQL can express the semantics (token
+counts, quality score, fingerprints — all oracle-comparable), pandas
+UDFs only for the model-based ops (language ID).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from contessa_spark.functions import langid
+from contessa_spark.functions.textstats import spark_stat_columns
+from contessa_spark.operators.dedup import fingerprint_col
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
+# the classic GPT-2-style pre-tokenizer shape, regex-only approximation.
+BPE_ISH_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, ws_tokens, bpeish_tokens, n_chars) — whitespace tokens and a
+    BPE-ish regex token count, both JVM-side."""
+    c = F.col(text_col)
+    ws = F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpeish_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc heuristic stats + a composite [0,1] quality score.
+
+    score = mean of (not-too-short, low-symbol, low-repetition,
+    has-stopwords) indicator-ish terms — a C4-flavored scalar useful
+    for threshold sweeps. All JVM.
+    """
+    from contessa_spark.functions.textstats import spark_words_col
+
+    out = df.select(
+        F.col(id_col), F.col(text_col), spark_words_col(text_col).alias("_words")
+    )
+    for name, col in spark_stat_columns(text_col, words_col="_words").items():
+        out = out.withColumn(name, col)
+    out = out.drop("_words")
+    score = (
+        F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+        + (1.0 - F.least(F.col("symbol_ratio") / F.lit(0.15), F.lit(1.0)))
+        + (1.0 - F.least(F.col("repetition") / F.lit(0.85), F.lit(1.0)))
+        + F.least(F.col("stopword_frac") / F.lit(0.10), F.lit(1.0))
+    ) / 4.0
+    return out.drop(text_col).withColumn("quality_score", F.round(score, 6)).withColumn(
+        "symbol_ratio", F.round("symbol_ratio", 6)
+    ).withColumn("repetition", F.round("repetition", 6)).withColumn(
+        "stopword_frac", F.round("stopword_frac", 6)
+    ).withColumn("mean_word_len", F.round("mean_word_len", 6))
+
+
+def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred, lang_conf, agrees) via the hashed-trigram model."""
+    lid = langid.spark_udf()
+    out = df.withColumn("_lid", lid(F.col(text_col)))
+    cols = [
+        F.col(id_col),
+        F.col("_lid.lang_pred").alias("lang_pred"),
+        F.round(F.col("_lid.lang_conf"), 6).alias("lang_conf"),
+    ]
+    if "lang" in df.columns:
+        cols.append((F.col("_lid.lang_pred") == F.col("lang")).alias("agrees"))
+    return out.select(*cols)
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint md5-of-normalized-text, head_hash rolling-ish
+    prefix hash) — cheap doc identity keys for incremental dedup."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        fingerprint_col(text_col).alias("fingerprint"),
+        F.xxhash64(F.substring(norm, 1, 64)).alias("head_hash"),
+    )

@@ -49,8 +49,7 @@ from contessa_spark.functions import langid, perplexity, scrub, textstats
 from contessa_spark.results import (
     QUALITY_CHECK_SCHEMA,
     UPSERT_KEY,
-    ParquetMergeWriter,
-    build_quality_rows,
+    LocalSmallTableMerge,
     percentage,
 )
 from contessa_spark.rules import get_rule_cls
@@ -116,28 +115,29 @@ KEEP_RULES = [
 def annotate(df: DataFrame) -> DataFrame:
     """ONE-pass per-row annotation.
 
-    JVM Column exprs for the heuristics (whole-stage codegen), Arrow
-    pandas UDFs for langid/perplexity/scrub. No per-row Python.
+    JVM Column exprs for the heuristics (whole-stage codegen) + ONE
+    fused Arrow pandas UDF for langid/perplexity/scrub (the text
+    serializes across the JVM↔Python boundary exactly once). No
+    per-row Python at the Spark level.
     """
-    lang_udf = langid.spark_udf()
-    ppl_udf = perplexity.spark_udf()
-    scrub_udf = scrub.spark_udf()
-    stats = textstats.spark_stat_columns("text")
+    from contessa_spark.functions import annotate_udf
 
-    out = df.withColumn("_lid", lang_udf(F.col("text"))).withColumn(
-        "_scr", scrub_udf(F.col("text"))
-    )
+    fused = annotate_udf.spark_udf()
+
+    out = df.withColumn("_ann", fused(F.col("text")))
     out = (
-        out.withColumn("lang_pred", F.col("_lid.lang_pred"))
-        .withColumn("lang_conf", F.col("_lid.lang_conf"))
-        .withColumn("scrubbed_text", F.col("_scr.scrubbed_text"))
-        .withColumn("pii_changed", F.col("_scr.pii_changed"))
-        .drop("_lid", "_scr")
-        .withColumn("ppl", ppl_udf(F.col("text")))
+        out.withColumn("lang_pred", F.col("_ann.lang_pred"))
+        .withColumn("lang_conf", F.col("_ann.lang_conf"))
+        .withColumn("ppl", F.col("_ann.ppl"))
+        .withColumn("scrubbed_text", F.col("_ann.scrubbed_text"))
+        .withColumn("pii_changed", F.col("_ann.pii_changed"))
+        .drop("_ann")
     )
-    for name, col in stats.items():
+    # materialize the word array once; every heuristic references it
+    out = out.withColumn("_words", textstats.spark_words_col("text"))
+    for name, col in textstats.spark_stat_columns("text", words_col="_words").items():
         out = out.withColumn(name, col)
-    return out
+    return out.drop("_words")
 
 
 def _rule_predicates(cfg: PipelineConfig) -> Dict[str, Column]:
@@ -150,8 +150,11 @@ def _rule_predicates(cfg: PipelineConfig) -> Dict[str, Column]:
     return preds
 
 
-def with_decisions(annotated: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Add per-rule boolean columns + the keep conjunction + bucket id."""
+def with_decisions(
+    annotated: DataFrame, cfg: PipelineConfig, bucket: bool = True
+) -> DataFrame:
+    """Add per-rule boolean columns + the keep conjunction (+ bucket id
+    unless the input already carries one)."""
     preds = _rule_predicates(cfg)
     out = annotated
     for name, pred in preds.items():
@@ -161,9 +164,11 @@ def with_decisions(annotated: DataFrame, cfg: PipelineConfig) -> DataFrame:
         c = F.col(f"rule_{name}")
         keep = c if keep is None else (keep & c)
     out = out.withColumn("keep", keep)
-    out = out.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int")
-    )
+    if bucket:
+        out = out.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
+        )
     return out
 
 
@@ -192,39 +197,46 @@ class QualityFilterPipeline:
         self.output_path = os.path.join(base_path, "output")
         self.lineage_path = os.path.join(base_path, "lineage")
         self.quality_path = os.path.join(base_path, "quality")
-        self.writer = ParquetMergeWriter(spark)
 
     # ---- checkpoint -----------------------------------------------
 
     def completed_buckets(self) -> List[int]:
-        if not os.path.exists(self.lineage_path):
+        pdf = LocalSmallTableMerge.read(self.lineage_path)
+        if pdf is None or not len(pdf):
             return []
-        return [
-            r["bucket"]
-            for r in self.spark.read.parquet(self.lineage_path)
-            .select("bucket")
-            .distinct()
-            .collect()
-        ]
+        return [int(b) for b in pdf["bucket"].unique()]
 
     # ---- run ------------------------------------------------------
 
-    def run(self, df: DataFrame, task_ts: Optional[datetime] = None) -> Dict:
+    def run(
+        self,
+        df: DataFrame,
+        task_ts: Optional[datetime] = None,
+        mode: str = "full",
+    ) -> Dict:
+        """``mode="full"`` writes the annotated/filtered output table;
+        ``mode="validate"`` computes only the per-bucket lineage and
+        per-rule quality counts (Contessa's native semantic — one scan,
+        no output table). Both checkpoint into the same lineage."""
         cfg = self.cfg
         task_ts = task_ts or datetime.now()
 
         done = set(self.completed_buckets())
-        decided = with_decisions(annotate(df), cfg)
+        # bucket id + resume filter + shuffle all happen on the NARROW
+        # input (url/warc_ts/text/lang — html is dropped here), BEFORE
+        # the annotation UDF: the shuffle moves raw text once instead
+        # of text + scrubbed copy + stats, and annotation runs
+        # post-shuffle so its output lands directly in its bucket file.
+        narrow = df.select("url", "warc_ts", "text", "lang").withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)).cast("int"),
+        )
         if done:
-            # resume: cheap JVM-side bucket filter BEFORE any UDF runs
-            # (Catalyst pushes the xxhash64 filter below the Python
-            # stages since they only depend on `text`)
-            decided = decided.where(~F.col("bucket").isin(*done))
+            narrow = narrow.where(~F.col("bucket").isin(*done))
 
         out_cols = [
             "url",
             "warc_ts",
-            "text",
             "lang",
             "lang_pred",
             "lang_conf",
@@ -240,20 +252,31 @@ class QualityFilterPipeline:
             "bucket",
         ] + [f"rule_{n}" for n in KEEP_RULES]
 
-        # pass 1 (the only scan of the input): write annotated output
-        projected = decided.select(*out_cols)
-        (
-            projected.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(self.output_path)
-        )
-
-        # pass 2: aggregates over the WRITTEN columnar output — column
-        # pruning means this scans a handful of boolean/long columns.
-        # Explicit schema: cheap, and robust to an empty write.
-        written = self.spark.read.schema(projected.schema).parquet(self.output_path)
-        if done:
-            written = written.where(~F.col("bucket").isin(*done))
+        if mode == "validate":
+            decided = with_decisions(annotate(narrow), cfg, bucket=False)
+            written = decided
+        else:
+            # bucket-aligned repartition of the narrow input: each task
+            # owns whole buckets, so partitionBy emits one file per
+            # bucket instead of (tasks × buckets) small files — the
+            # bucketed-write pattern that keeps file counts bounded at
+            # cluster scale.
+            shuffled = narrow.repartition(cfg.n_buckets, F.col("bucket"))
+            decided = with_decisions(annotate(shuffled), cfg, bucket=False)
+            projected = decided.select(*out_cols)
+            (
+                projected.write.mode("append")
+                .partitionBy("bucket")
+                .parquet(self.output_path)
+            )
+            # aggregates read the WRITTEN columnar output — column
+            # pruning scans just the boolean/long columns. Explicit
+            # schema: cheap, and robust to an empty write.
+            written = self.spark.read.schema(projected.schema).parquet(
+                self.output_path
+            )
+            if done:
+                written = written.where(~F.col("bucket").isin(*done))
 
         rule_aggs = []
         for n in KEEP_RULES + ["pii_scrub"]:
@@ -263,51 +286,51 @@ class QualityFilterPipeline:
             rule_aggs.append(
                 F.count(F.when(col.eqNullSafe(F.lit(False)), 1)).alias(f"failed_{n}")
             )
-        lineage = written.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("input_count"),
-            F.count(F.when(F.col("keep"), 1)).alias("kept_count"),
-            F.count(F.when(F.col("pii_changed"), 1)).alias("scrubbed_count"),
-            *rule_aggs,
-            F.lit(task_ts).alias("task_ts"),
-        )
-        self.writer.merge(
-            lineage, self.lineage_path, LINEAGE_KEY, lineage.schema
-        )
-
-        # quality-check rows: tiny rollup of lineage (never rescans data)
-        qrows = self._quality_rows(task_ts)
-        qdf = self.spark.createDataFrame(qrows, schema=QUALITY_CHECK_SCHEMA)
-        self.writer.merge(qdf, self.quality_path, UPSERT_KEY, QUALITY_CHECK_SCHEMA)
-
-        summary = (
-            self.spark.read.parquet(self.lineage_path)
+        lineage_rows = (
+            written.groupBy("bucket")
             .agg(
-                F.sum("input_count").alias("input"),
-                F.sum("kept_count").alias("kept"),
-                F.sum("scrubbed_count").alias("scrubbed"),
+                F.count(F.lit(1)).alias("input_count"),
+                F.count(F.when(F.col("keep"), 1)).alias("kept_count"),
+                F.count(F.when(F.col("pii_changed"), 1)).alias("scrubbed_count"),
+                *rule_aggs,
+                F.lit(task_ts).alias("task_ts"),
             )
-            .collect()[0]
+            .toPandas()  # ≤ n_buckets rows — control-plane data
         )
+
+        # lineage merge, quality rollup and summary are all driver-side
+        # pandas over the collected lineage: one Spark job total instead
+        # of six (merge reads/writes + rollup + summary).
+        merged_lineage = LocalSmallTableMerge.merge(
+            lineage_rows, self.lineage_path, LINEAGE_KEY
+        )
+        import pandas as pd
+
+        qrows = self._quality_rows(merged_lineage, task_ts)
+        qpdf = pd.DataFrame(qrows, columns=[f.name for f in QUALITY_CHECK_SCHEMA.fields])
+        # pin dtypes so all-None columns stay typed in parquet
+        for c in ("median_30_day_failed", "median_30_day_passed",
+                  "failed_percentage", "passed_percentage"):
+            qpdf[c] = qpdf[c].astype("float64")
+        for c in ("total_records", "failed", "passed"):
+            qpdf[c] = qpdf[c].astype("int64")
+        LocalSmallTableMerge.merge(qpdf, self.quality_path, UPSERT_KEY)
+
         return {
-            "input": summary["input"] or 0,
-            "kept": summary["kept"] or 0,
-            "scrubbed": summary["scrubbed"] or 0,
+            "input": int(merged_lineage["input_count"].sum()),
+            "kept": int(merged_lineage["kept_count"].sum()),
+            "scrubbed": int(merged_lineage["scrubbed_count"].sum()),
             "buckets_done": cfg.n_buckets,
             "resumed_buckets_skipped": len(done),
         }
 
-    def _quality_rows(self, task_ts: datetime) -> List[dict]:
-        lineage = self.spark.read.parquet(self.lineage_path)
-        agg = [F.sum("input_count").alias("total")]
+    def _quality_rows(self, lineage_pdf, task_ts: datetime) -> List[dict]:
         names = KEEP_RULES + ["pii_scrub"]
-        for n in names:
-            agg.append(F.sum(f"failed_{n}").alias(f"failed_{n}"))
-        row = lineage.agg(*agg).collect()[0]
         defs = {d["name"]: d for d in rule_defs(self.cfg)}
         out = []
         for n in names:
-            total = row["total"] or 0  # sum() over empty lineage is NULL
-            failed = row[f"failed_{n}"] or 0
+            total = int(lineage_pdf["input_count"].sum()) if len(lineage_pdf) else 0
+            failed = int(lineage_pdf[f"failed_{n}"].sum()) if len(lineage_pdf) else 0
             passed = total - failed
             d = defs.get(n, {"column": "text", "type": "sql"})
             out.append(

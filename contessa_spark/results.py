@@ -274,6 +274,59 @@ class ParquetMergeWriter:
         os.rename(tmp, path)
 
 
+class LocalSmallTableMerge:
+    """Driver-side upsert for TINY control tables (lineage, quality) —
+    pandas + pyarrow, zero Spark jobs.
+
+    Rationale: at any scale these tables hold one row per
+    bucket/rule/run — thousands of rows, not data-plane rows. Running
+    a Spark job (scheduler round-trip, shuffle file, commit protocol)
+    per merge costs seconds of fixed latency per pipeline run; a
+    driver-side parquet rewrite is milliseconds with identical upsert
+    semantics. Production swaps this for Iceberg MERGE INTO, same
+    interface.
+    """
+
+    @staticmethod
+    def read(path: str):
+        import glob
+
+        import pandas as pd
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return None
+        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+    @classmethod
+    def merge(cls, new_pdf, path: str, key_cols: List[str]) -> "object":
+        """Upsert new_pdf into the parquet dir at path; returns the
+        merged pandas frame."""
+        import pandas as pd
+
+        existing = cls.read(path)
+        if existing is not None and len(existing):
+            mask = ~existing.set_index(key_cols).index.isin(
+                new_pdf.set_index(key_cols).index
+            )
+            merged = pd.concat([existing[mask], new_pdf], ignore_index=True)
+        else:
+            merged = new_pdf
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        # Spark cannot read TIMESTAMP(NANOS) parquet — write micros
+        merged.to_parquet(
+            os.path.join(tmp, "part-00000.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        return merged
+
+
 class IcebergMergeWriter:
     """Production writer: real ``MERGE INTO`` keyed on the upsert
     identity — atomic, snapshot-isolated, scan-free for unchanged

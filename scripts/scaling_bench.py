@@ -1,0 +1,146 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the same pipeline job runs
+at two local parallelism levels — local[N] and local[4N] — over the
+SAME parquet input, as the stand-in for N vs 4N executors. Prints a
+JSON report and (with --write) refreshes the measured-numbers section
+of BENCH.md.
+
+Usage: python scripts/scaling_bench.py [--docs 640000] [--low 8]
+       [--reps 2] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_TEMPLATE = r"""
+import sys, time, tempfile, shutil, json
+sys.path.insert(0, {repo!r})
+from datetime import datetime
+from contessa_spark.session import get_spark
+from contessa_spark.pipeline import QualityFilterPipeline, PipelineConfig
+
+cores = {cores}
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores,
+                  task_cpus={task_cpus})
+inp = spark.read.parquet({input_path!r})
+cfg = PipelineConfig(n_buckets={buckets})
+
+# warmup: same plan shape, small slice — JIT + python worker pool
+w = tempfile.mkdtemp()
+QualityFilterPipeline(spark, w, cfg).run(inp.limit(20000), task_ts=datetime(2025, 7, 1))
+shutil.rmtree(w)
+
+times = []
+for rep in range({reps}):
+    b = tempfile.mkdtemp()
+    t0 = time.perf_counter()
+    # vary task_ts per rep: Spark 4.1 reuses results of IDENTICAL plans
+    # in-session, which would fake the repeat timings
+    s = QualityFilterPipeline(spark, b, cfg).run(inp, task_ts=datetime(2025, 8, 1, 0, rep))
+    times.append(time.perf_counter() - t0)
+    shutil.rmtree(b)
+import statistics
+med = statistics.median(times)
+print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(med, 2),
+                               "all_reps_sec": [round(t, 2) for t in times],
+                               "docs": s["input"],
+                               "docs_per_sec": round(s["input"] / med, 1)}}))
+"""
+
+GEN_TEMPLATE = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from contessa_spark.session import get_spark
+from contessa_spark.sources.webgen import generate
+spark = get_spark("gen", master="local[32]", shuffle_partitions=32)
+generate(spark, {docs}, seed=42).write.mode("overwrite").parquet({input_path!r})
+print("GENERATED")
+"""
+
+
+def run_py(code: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(1)
+    return out.stdout
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--task-cpus", type=int, default=1)
+    ap.add_argument("--write", action="store_true")
+    args = ap.parse_args()
+    high = args.low * 4
+
+    input_path = os.path.join(tempfile.gettempdir(), f"scaling_input_{args.docs}")
+    if not os.path.exists(input_path):
+        run_py(GEN_TEMPLATE.format(repo=REPO, docs=args.docs, input_path=input_path))
+
+    results = {}
+    for cores in (args.low, high):
+        out = run_py(
+            RUN_TEMPLATE.format(
+                repo=REPO,
+                cores=cores,
+                input_path=input_path,
+                buckets=high * 2,
+                reps=args.reps,
+                task_cpus=args.task_cpus,
+            )
+        )
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results[cores] = json.loads(line[len("RESULT "):])
+
+    low, high_r = results[args.low], results[high]
+    efficiency = (high_r["docs_per_sec"] / low["docs_per_sec"]) / (
+        high / args.low
+    )
+    report = {
+        "docs": args.docs,
+        "low": low,
+        "high": high_r,
+        "core_ratio": high / args.low,
+        "throughput_ratio": round(high_r["docs_per_sec"] / low["docs_per_sec"], 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(report))
+
+    if args.write:
+        md = (
+            "\n## Measured scaling (sandbox two-level evidence)\n\n"
+            f"Same job (quality-filter pipeline, parquet input of {args.docs:,} "
+            "synthetic web pages, seed 42), identical config, two local "
+            "parallelism levels as the stand-in for N vs 4N executors. Median "
+            f"of {args.reps} reps after a warmup run.\n\n"
+            "| cores | wall (s) | docs/sec |\n|---|---|---|\n"
+            f"| local[{args.low}] | {low['wall_sec']} | {low['docs_per_sec']} |\n"
+            f"| local[{high}] | {high_r['wall_sec']} | {high_r['docs_per_sec']} |\n\n"
+            f"Throughput ratio {report['throughput_ratio']}× over a "
+            f"{report['core_ratio']}× core ratio → **scaling efficiency "
+            f"{report['scaling_efficiency']}**.\n"
+        )
+        path = os.path.join(REPO, "BENCH.md")
+        existing = ""
+        if os.path.exists(path):
+            existing = open(path).read().split("\n## Measured scaling")[0]
+        with open(path, "w") as f:
+            f.write(existing + md)
+
+
+if __name__ == "__main__":
+    main()
