@@ -60,6 +60,7 @@ class ConsistencyChecker:
         left_table_name: str = "left",
         right_table_name: str = "right",
         collect_examples: int = 10,
+        result_table_path: Optional[str] = None,
     ) -> CheckResult:
         if (left_sql or right_sql) and (columns or time_filter):
             # consistency_checker.py:58-62
@@ -90,7 +91,41 @@ class ConsistencyChecker:
             time_filter=time_filter,
             context=ctx,
         )
+        if result_table_path:
+            self.persist(cr, task_ts, result_table_path)
         return cr
+
+    def persist(self, cr: CheckResult, task_ts: datetime, path: str) -> None:
+        """Upsert one ConsistencyCheck row (contessa/models.py:157-205;
+        identity = (type, name, left_table, right_table, task_ts,
+        time_filter), consistency_checker.py:233-238)."""
+        import json
+
+        import pandas as pd
+
+        from contessa_spark.results import (
+            CONSISTENCY_UPSERT_KEY,
+            LocalSmallTableMerge,
+        )
+
+        ctx = dict(cr.context or {})
+        row = {
+            "type": cr.rule_type,
+            "name": cr.rule_name,
+            "description": cr.rule_description,
+            "left_table": ctx.get("left_table_name", "left"),
+            "right_table": ctx.get("right_table_name", "right"),
+            "status": cr.status,
+            "time_filter": cr.time_filter or "not_set",
+            "context": json.dumps(
+                {k: str(v) for k, v in ctx.items()}, sort_keys=True
+            ),
+            "task_ts": task_ts,
+            "created_at": datetime.utcnow(),
+        }
+        LocalSmallTableMerge.merge(
+            pd.DataFrame([row]), path, CONSISTENCY_UPSERT_KEY
+        )
 
     def _side(
         self,

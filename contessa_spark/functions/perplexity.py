@@ -81,7 +81,12 @@ def perplexity(text: str) -> float:
     Empty/one-word documents get the unigram-only score; empty text →
     a fixed high sentinel (1e6).
     """
-    toks = _tokens(text)
+    return perplexity_tokens(_tokens(text))
+
+
+def perplexity_tokens(toks: List[str]) -> float:
+    """Core over pre-lowered tokens (shared with the fused UDF, which
+    tokenizes each document once for all word stats)."""
     if not toks:
         return 1.0e6
     hs = np.array([_hash_word(w) for w in toks], dtype=np.int64)

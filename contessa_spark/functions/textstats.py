@@ -26,6 +26,15 @@ from contessa_spark.functions.langid import SEED_CORPORA
 _LETTER_CLASS = r"[A-Za-zÀ-ÿ0-9\s]"
 _SYMBOL_RE = re.compile(_LETTER_CLASS)
 
+# str.translate table deleting every keep-class char — C-speed
+# equivalent of _SYMBOL_RE.sub("", t) (regex sub was the hotspot at
+# ~150µs/doc). All \s-matching codepoints are < 0x3001, so the table
+# covers the regex exactly; chars above stay → counted as symbols,
+# same as the regex.
+_KEEP_DELETE_TABLE = {
+    cp: None for cp in range(0x3001) if _SYMBOL_RE.match(chr(cp))
+}
+
 # stop words: the 25 most frequent tokens of each language's seed
 # corpus, unioned — deterministic, derived, multi-language.
 def _build_stopwords() -> List[str]:
@@ -56,7 +65,7 @@ def py_n_chars(text: str) -> int:
 def py_symbol_ratio(text: str) -> float:
     if not text:
         return 1.0
-    return len(_SYMBOL_RE.sub("", text)) / len(text)
+    return len(text.translate(_KEEP_DELETE_TABLE)) / len(text)
 
 
 def py_repetition(text: str) -> float:

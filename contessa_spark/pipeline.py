@@ -113,31 +113,27 @@ KEEP_RULES = [
 
 
 def annotate(df: DataFrame) -> DataFrame:
-    """ONE-pass per-row annotation.
+    """ONE-pass per-row annotation via ONE fused Arrow pandas UDF.
 
-    JVM Column exprs for the heuristics (whole-stage codegen) + ONE
-    fused Arrow pandas UDF for langid/perplexity/scrub (the text
-    serializes across the JVM↔Python boundary exactly once). No
-    per-row Python at the Spark level.
+    Text serializes across the JVM↔Python boundary exactly once; every
+    derived signal (langid, perplexity, scrub, heuristic stats) comes
+    back as one struct. The per-word stats are python-set based — see
+    functions/annotate_udf.py for why that beats the codegen'd
+    array_contains form by ~20× here. No per-row Python at the Spark
+    level (Arrow batches only).
     """
     from contessa_spark.functions import annotate_udf
 
-    fused = annotate_udf.spark_udf()
-
-    out = df.withColumn("_ann", fused(F.col("text")))
-    out = (
-        out.withColumn("lang_pred", F.col("_ann.lang_pred"))
-        .withColumn("lang_conf", F.col("_ann.lang_conf"))
-        .withColumn("ppl", F.col("_ann.ppl"))
-        .withColumn("scrubbed_text", F.col("_ann.scrubbed_text"))
-        .withColumn("pii_changed", F.col("_ann.pii_changed"))
-        .drop("_ann")
-    )
-    # materialize the word array once; every heuristic references it
-    out = out.withColumn("_words", textstats.spark_words_col("text"))
-    for name, col in textstats.spark_stat_columns("text", words_col="_words").items():
-        out = out.withColumn(name, col)
-    return out.drop("_words")
+    out = df.withColumn("_ann", annotate_udf.spark_udf()(F.col("text")))
+    for name, _ in annotate_udf.FIELDS:
+        if name == "scrubbed_text":
+            # the UDF returns NULL when no scrub changed the text
+            out = out.withColumn(
+                name, F.coalesce(F.col("_ann.scrubbed_text"), F.col("text"))
+            )
+        else:
+            out = out.withColumn(name, F.col(f"_ann.{name}"))
+    return out.drop("_ann")
 
 
 def _rule_predicates(cfg: PipelineConfig) -> Dict[str, Column]:
@@ -195,13 +191,18 @@ class QualityFilterPipeline:
         self.cfg = cfg or PipelineConfig()
         self.base = base_path
         self.output_path = os.path.join(base_path, "output")
+        # validate-mode lineage lives in its own namespace: a counts-only
+        # run must never mark buckets complete for a full run (which
+        # also writes the output table)
         self.lineage_path = os.path.join(base_path, "lineage")
+        self.validate_lineage_path = os.path.join(base_path, "lineage_validate")
         self.quality_path = os.path.join(base_path, "quality")
 
     # ---- checkpoint -----------------------------------------------
 
-    def completed_buckets(self) -> List[int]:
-        pdf = LocalSmallTableMerge.read(self.lineage_path)
+    def completed_buckets(self, mode: str = "full") -> List[int]:
+        path = self.validate_lineage_path if mode == "validate" else self.lineage_path
+        pdf = LocalSmallTableMerge.read(path)
         if pdf is None or not len(pdf):
             return []
         return [int(b) for b in pdf["bucket"].unique()]
@@ -221,7 +222,10 @@ class QualityFilterPipeline:
         cfg = self.cfg
         task_ts = task_ts or datetime.now()
 
-        done = set(self.completed_buckets())
+        done = set(self.completed_buckets(mode))
+        lineage_path = (
+            self.validate_lineage_path if mode == "validate" else self.lineage_path
+        )
         # bucket id + resume filter + shuffle all happen on the NARROW
         # input (url/warc_ts/text/lang — html is dropped here), BEFORE
         # the annotation UDF: the shuffle moves raw text once instead
@@ -302,7 +306,7 @@ class QualityFilterPipeline:
         # pandas over the collected lineage: one Spark job total instead
         # of six (merge reads/writes + rollup + summary).
         merged_lineage = LocalSmallTableMerge.merge(
-            lineage_rows, self.lineage_path, LINEAGE_KEY
+            lineage_rows, lineage_path, LINEAGE_KEY
         )
         import pandas as pd
 

@@ -119,3 +119,39 @@ def test_count_with_columns_counts_non_null(spark, left):
     res = cc.run("count", left, left, columns=["src"], context={"task_ts": TASK_TS})
     # count(src): 3 non-null on both sides
     assert (res.total_records, res.failed, res.passed) == (3, 0, 3)
+
+
+def test_consistency_persists_and_upserts(spark, left, right_missing_one, tmp_path):
+    """Persisted ConsistencyCheck row with upsert identity
+    (contessa/models.py:195-205)."""
+    path = str(tmp_path / "consistency_check_booking")
+    cc = ConsistencyChecker(spark)
+    cc.run(
+        "count", left, right_missing_one,
+        context={"task_ts": TASK_TS},
+        left_table_name="tmp.booking", right_table_name="hello.booking",
+        result_table_path=path,
+    )
+    stored = spark.read.parquet(path)
+    assert stored.count() == 1
+    row = stored.collect()[0]
+    assert row["status"] == "invalid"
+    assert row["left_table"] == "tmp.booking"
+    # same task_ts rerun replaces
+    cc.run(
+        "count", left, left,
+        context={"task_ts": TASK_TS},
+        left_table_name="tmp.booking", right_table_name="hello.booking",
+        result_table_path=path,
+    )
+    stored = spark.read.parquet(path)
+    assert stored.count() == 1
+    assert stored.collect()[0]["status"] == "valid"
+    # diff adds a second row (different type in the key)
+    cc.run(
+        "diff", left, left,
+        context={"task_ts": TASK_TS},
+        left_table_name="tmp.booking", right_table_name="hello.booking",
+        result_table_path=path,
+    )
+    assert spark.read.parquet(path).count() == 2

@@ -1,0 +1,121 @@
+"""Physical-plan quality gates — the properties that make these
+operators survive a 100 TB input, asserted on `.explain` output:
+
+* rule/time filters push down to the parquet scan (PushedFilters);
+* column pruning reaches the scan (ReadSchema excludes unused cols);
+* the pipeline evaluates its pandas UDF exactly ONCE per row
+  (a pushed-through filter or collapsed projection would duplicate the
+  ArrowEvalPython stage — regression we hit during development);
+* broadcast join for the small query side in top-k search;
+* the multi-rule compiler produces ONE aggregate over ONE scan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+
+
+def test_time_filter_pushdown(spark):
+    """A rule's time_filter predicate must reach the parquet scan."""
+    from datetime import datetime
+
+    from contessa_spark.time_filter import TimeFilter, TimeFilterColumn
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    tf = TimeFilter(
+        columns=[TimeFilterColumn("ts", since=datetime(2024, 1, 5), until=datetime(2024, 1, 15))]
+    )
+    plan = _plan(ev.where(tf.predicate(datetime(2024, 2, 1))))
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_column_pruning_in_rule_agg(spark, lineitem):
+    """Counting rules over 2 columns must not read the other 9."""
+    from datetime import datetime
+
+    from contessa_spark.compiler import counters_df
+    from contessa_spark.runner import QualityRunner
+
+    rules = QualityRunner.build_rules(
+        [{"name": "q", "type": "gt", "column": "l_quantity", "value": 25}]
+    )
+    plan = _plan(counters_df(lineitem, rules, datetime(2024, 1, 1)))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_single_agg_single_scan(spark, lineitem):
+    """7 rules → ONE HashAggregate pair over ONE FileScan."""
+    from datetime import datetime
+
+    from contessa_spark.compiler import counters_df
+    from contessa_spark.runner import QualityRunner
+
+    rules = QualityRunner.build_rules(
+        [
+            {"name": f"r{i}", "type": t, "column": "l_quantity", "value": i}
+            for i, t in enumerate(["gt", "gte", "lt", "lte", "eq", "not"])
+        ]
+        + [{"name": "nn", "type": "not_null", "column": "l_orderkey"}]
+    )
+    plan = _plan(counters_df(lineitem, rules, datetime(2024, 1, 1)))
+    assert plan.count("FileScan parquet") == 1
+    # partial + final hash aggregate only (2 nodes)
+    assert plan.count("HashAggregate") == 2
+
+
+def test_pipeline_udf_evaluated_once(spark):
+    """The fused pandas UDF must appear as exactly one ArrowEvalPython
+    stage in the pipeline write plan."""
+    from contessa_spark.pipeline import PipelineConfig, annotate, with_decisions
+    from contessa_spark.sources.webgen import generate
+
+    web = generate(spark, 10, seed=42)
+    dec = with_decisions(annotate(web), PipelineConfig(n_buckets=8))
+    plan = _plan(dec)
+    assert plan.count("ArrowEvalPython") == 1
+    # the word-array split must not be re-expanded per stat
+    assert plan.count("split(") <= 2
+
+
+def test_topk_broadcasts_query_side(spark):
+    from contessa_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    plan = _plan(brute_force_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_is_semi_join_on_projected_fp(spark):
+    """exact_dedup must shuffle only (fp, id) — the scan for the
+    group-by side reads just doc_id and text (for the fingerprint),
+    and the payload joins back semi."""
+    from contessa_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert "LeftSemi" in plan
+
+
+def test_consistency_diff_uses_distributed_set_ops(spark):
+    """DIFF must compile to joins/aggregates, never a driver collect —
+    check the plan contains hash aggregation over both scans."""
+    from contessa_spark.consistency import ConsistencyChecker
+
+    a = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    plan = _plan(ConsistencyChecker.diff_compare_df(a, a))
+    assert plan.count("FileScan parquet") >= 2
+    assert "HashAggregate" in plan
