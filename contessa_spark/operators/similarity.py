@@ -77,8 +77,21 @@ def brute_force_topk(
     """Exact top-k: broadcast the query side, rank per query.
     Output: (query_id, neighbor_id, cosine, rank). Ties break on
     neighbor_id for determinism."""
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    from contessa_spark.operators.dedup import dot_fixed, norm_fixed
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    dim = corpus.select(F.size("_cv")).first()[0]
+    # norms once per row (not per pair); dot as codegen-friendly
+    # expanded terms — higher-order lambdas stay interpreted
+    corpus = corpus.withColumn("_cn", norm_fixed(F.col("_cv"), dim))
+    queries = queries.withColumn("_qn", norm_fixed(F.col("_qv"), dim))
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -87,7 +100,8 @@ def brute_force_topk(
             # (raw-double ordering can disagree with an external oracle
             # in the last ulp)
             F.round(
-                cosine_sim(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")),
+                dot_fixed(F.col("_qv"), F.col("_cv"), dim)
+                / (F.col("_qn") * F.col("_cn")),
                 6,
             ),
         )
