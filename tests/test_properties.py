@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the pure cores + golden SQL
+for the Iceberg writer. These don't need Spark — they pin invariants
+the distributed paths rely on."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from contessa_spark.functions import langid, perplexity, scrub, textstats
+from contessa_spark.functions.annotate_udf import annotate_rows
+from contessa_spark.sources.webgen import gen_row
+
+text_st = st.text(max_size=400)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_scrub_idempotent(t):
+    once = scrub.scrub_text(t)
+    assert scrub.scrub_text(once) == once
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_scrub_removes_all_pii(t):
+    out = scrub.scrub_text(t + " a@b.co 123-45-6789")
+    assert scrub.EMAIL_RE.search(out) is None
+    assert scrub.SSN_RE.search(out) is None
+    assert scrub.TOXIC_RE.search(out) is None
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_stats_bounded(t):
+    assert 0.0 <= textstats.py_symbol_ratio(t) <= 1.0
+    assert 0.0 <= textstats.py_repetition(t) <= 1.0
+    assert 0.0 <= textstats.py_stopword_frac(t) <= 1.0
+    assert textstats.py_mean_word_len(t) >= 0.0
+    assert perplexity.perplexity(t) > 0.0
+    lang, conf = langid.detect(t)
+    assert 0.0 <= conf <= 1.0
+    assert lang == "und" or lang in langid.LANGS
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_fused_annotate_matches_single_signal_forms(t):
+    """The fused batch core must equal the independent py_* functions
+    on arbitrary unicode input (the oracle contract)."""
+    cols = annotate_rows([t])
+    assert cols["symbol_ratio"][0] == textstats.py_symbol_ratio(t)
+    assert cols["repetition"][0] == textstats.py_repetition(t)
+    assert cols["stopword_frac"][0] == textstats.py_stopword_frac(t)
+    assert cols["mean_word_len"][0] == textstats.py_mean_word_len(t)
+    assert cols["ppl"][0] == perplexity.perplexity(t)
+    scrubbed = cols["scrubbed_text"][0]
+    expect = scrub.scrub_text(t)
+    assert (scrubbed if scrubbed is not None else t) == expect
+
+
+@given(st.integers(min_value=0, max_value=10_000_000), st.integers(min_value=0, max_value=1000))
+@settings(max_examples=100, deadline=None)
+def test_generator_pure_function_of_seed_and_id(i, seed):
+    a = gen_row(i, seed)
+    b = gen_row(i, seed)
+    assert a == b
+    assert a["url"].startswith("https://")
+    assert isinstance(a["html"], bytes)
+    assert a["lang"] in langid.LANGS
+
+
+def test_iceberg_merge_sql_golden():
+    """MERGE INTO text for the contessa upsert identity
+    (contessa/db.py:61-88 → Iceberg MERGE)."""
+    from contessa_spark.results import UPSERT_KEY, IcebergMergeWriter
+
+    sql = IcebergMergeWriter.__new__(IcebergMergeWriter).merge_sql(
+        "warehouse.dq.quality_check_pages", "batch", UPSERT_KEY
+    )
+    assert sql == (
+        "MERGE INTO warehouse.dq.quality_check_pages t USING batch s ON "
+        "t.attribute <=> s.attribute AND t.rule_name <=> s.rule_name AND "
+        "t.rule_type <=> s.rule_type AND t.task_ts <=> s.task_ts AND "
+        "t.time_filter <=> s.time_filter "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_time_filter_sql_text_golden():
+    """Spark-SQL render parity with the reference's golden strings
+    (test/unit/test_executor.py:22-94 shape, Spark literal syntax)."""
+    from contessa_spark.time_filter import TimeFilter, TimeFilterColumn, parse_time_filter
+
+    now = datetime(2018, 9, 12, 12, 0, 0)
+    tf = parse_time_filter("created_at")
+    assert tf.sql_text(now) == (
+        "(created_at >= TIMESTAMP '2018-08-13 12:00:00' AND created_at < TIMESTAMP '2018-09-12 12:00:00')"
+    )
+    tf2 = TimeFilter(
+        columns=[
+            TimeFilterColumn("a", since=timedelta(days=1), until="now"),
+            TimeFilterColumn("b", since=timedelta(days=2), until="now"),
+        ]
+    )
+    assert " OR " in tf2.sql_text(now)
