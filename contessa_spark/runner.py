@@ -45,9 +45,15 @@ from contessa_spark.table import Table
 
 
 class QualityRunner:
-    def __init__(self, spark: SparkSession, writer=None):
+    def __init__(self, spark: SparkSession, writer=None, row_builder=None):
+        """``row_builder(rules, agg_results, task_ts, medians) -> rows``
+        is the Spark analogue of the reference's ``special_qc_map``
+        (contessa/runner.py:29,124-140 — swap the persisted row shape
+        per result table); defaults to the standard QualityCheck rows.
+        """
         self.spark = spark
         self.writer = writer or ParquetMergeWriter(spark)
+        self.row_builder = row_builder or build_quality_rows
 
     def run(
         self,
@@ -95,7 +101,7 @@ class QualityRunner:
 
         if result_table_path:
             medians = medians_30_day(self.spark, result_table_path, today=today)
-            rows = build_quality_rows(rules, ordered, task_ts, medians)
+            rows = self.row_builder(rules, ordered, task_ts, medians)
             rows_df = self.spark.createDataFrame(rows, schema=QUALITY_CHECK_SCHEMA)
             self.writer.merge(rows_df, result_table_path, UPSERT_KEY, QUALITY_CHECK_SCHEMA)
             return rows

@@ -38,12 +38,13 @@ _WORD_POOLS: Dict[str, List[str]] = {l: SEED_CORPORA[l].split() for l in LANGS}
 
 # doc-type mix (cumulative per mille)
 _DOC_TYPES = [
-    ("clean", 600),
-    ("wrong_lang", 670),
-    ("short", 740),
-    ("symbol", 810),
-    ("repetitive", 880),
-    ("pii", 940),
+    ("clean", 590),
+    ("wrong_lang", 660),
+    ("short", 730),
+    ("long", 750),  # exceeds max_chars → exercises the max_len rule
+    ("symbol", 820),
+    ("repetitive", 890),
+    ("pii", 945),
     ("toxic", 1000),
 ]
 
@@ -88,6 +89,10 @@ def gen_row(i: int, seed: int = 42) -> dict:
 
     if doc_type == "short":
         text = " ".join(_words(rng, pool, rng.randint(1, 8)))
+    elif doc_type == "long":
+        # well-formed prose that overruns the max-length rule (~4-5k
+        # words ≈ 25-30k chars vs the 20k default cap)
+        text = " ".join(_words(rng, pool, rng.randint(4000, 5000)))
     elif doc_type == "symbol":
         parts = []
         for _ in range(rng.randint(40, 120)):

@@ -122,3 +122,11 @@ def test_resume_skips_completed_buckets(spark, web_df, tmp_path_factory, golden)
     assert summary2["resumed_buckets_skipped"] == 8
     assert spark.read.parquet(pipe.output_path).count() == n1
     assert summary2["input"] == N_DOCS  # lineage totals unchanged
+
+
+def test_max_len_rule_fires(spark, pipeline_result):
+    """The generator plants over-length docs; the max_len rule must
+    actually fail some rows (regression: a never-firing rule)."""
+    _, _, out = pipeline_result
+    assert out.where("NOT rule_max_len_lte").count() > 0
+    assert out.where("n_chars > 20000 AND keep").count() == 0

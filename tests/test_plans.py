@@ -119,3 +119,28 @@ def test_consistency_diff_uses_distributed_set_ops(spark):
     plan = _plan(ConsistencyChecker.diff_compare_df(a, a))
     assert plan.count("FileScan parquet") >= 2
     assert "HashAggregate" in plan
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Hyperplane-LSH top-k recall ≥ 0.8 vs exact at these settings."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hyperplane_lsh_topk(
+            emb, q, k=5, dim=16, n_bits=6, n_tables=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
