@@ -69,6 +69,7 @@ class PipelineConfig:
     mwl_min: float = 2.5
     mwl_max: float = 8.0
     n_buckets: int = 64  # lineage/checkpoint granularity
+    dedup_urls: bool = False  # keep earliest warc_ts per url pre-annotation
 
 
 #: rule definitions in the contessa DSL (dict form, normalizer-ready)
@@ -237,6 +238,22 @@ class QualityFilterPipeline:
         )
         if done:
             narrow = narrow.where(~F.col("bucket").isin(*done))
+        if cfg.dedup_urls:
+            # crawl snapshots repeat urls: keep the earliest capture.
+            # The window partitions by url — same hash family as the
+            # bucket column, so AQE sees a co-partitioned shuffle; at
+            # scale this replaces the streaming stateful dedup for
+            # batch backfills.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").asc(), F.col("text").asc()
+            )
+            narrow = (
+                narrow.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
 
         out_cols = [
             "url",

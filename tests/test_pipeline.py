@@ -130,3 +130,22 @@ def test_max_len_rule_fires(spark, pipeline_result):
     _, _, out = pipeline_result
     assert out.where("NOT rule_max_len_lte").count() > 0
     assert out.where("n_chars > 20000 AND keep").count() == 0
+
+
+def test_url_dedup_stage(spark, tmp_path):
+    """cfg.dedup_urls keeps the earliest capture per url."""
+    from pyspark.sql import functions as F
+
+    base = generate(spark, 100, seed=42)
+    later = base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" UPDATED")))
+    both = base.unionByName(later)
+    pipe = QualityFilterPipeline(
+        spark, str(tmp_path / "dd"), PipelineConfig(n_buckets=4, dedup_urls=True)
+    )
+    s = pipe.run(both, task_ts=TASK_TS)
+    assert s["input"] == 100  # duplicates removed before annotation
+    out = spark.read.parquet(pipe.output_path)
+    assert out.count() == 100
+    assert out.where("scrubbed_text LIKE '%UPDATED'").count() == 0
