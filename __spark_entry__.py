@@ -31,7 +31,36 @@ TABLES = [
 ]
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_shipped_sessions = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``contessa_spark`` importable on Spark PYTHON WORKERS even
+    when the driver process runs from another cwd: workers do not
+    inherit this module's sys.path patch, so ship the package zip via
+    addPyFile (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key in _shipped_sessions:
+        return
+    import zipfile
+
+    zip_path = os.path.join(_REPO, "dist", "contessa_spark.zip")
+    if not os.path.exists(zip_path):
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(_REPO, "contessa_spark")
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped_sessions.add(key)
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
