@@ -212,10 +212,13 @@ def _doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     s = scrub.spark_udf()
-    return docs.select(
+    # evaluate the UDF ONCE: select the struct, then project its fields
+    # (two getField calls on s(col) would each embed a full UDF
+    # invocation — two ArrowEvalPython nodes; see tests/test_plans.py)
+    return docs.select("doc_id", s(F.col("text")).alias("_s")).select(
         "doc_id",
-        s(F.col("text")).getField("scrubbed_text").alias("scrubbed_text"),
-        s(F.col("text")).getField("pii_changed").alias("pii_changed"),
+        F.col("_s.scrubbed_text").alias("scrubbed_text"),
+        F.col("_s.pii_changed").alias("pii_changed"),
     )
 
 

@@ -169,25 +169,34 @@ class ConsistencyChecker:
         left: DataFrame, right: DataFrame, collect_examples: int
     ) -> AggregatedResult:
         # Python-set semantics ⇒ distinct set ops. intersect/subtract are
-        # Spark's SQL INTERSECT/EXCEPT (distinct); each is one hash
-        # aggregate + shuffle — no driver materialization.
-        common = left.intersect(right).count()
-        only_left = left.subtract(right).count()
-        only_right = right.subtract(left).count()
-        failed = only_left + only_right
-        examples = []
-        if collect_examples and failed:
-            examples = [
-                tuple(r)
-                for r in left.subtract(right)
-                .unionByName(right.subtract(left))
-                .limit(collect_examples)
-                .collect()
-            ]
+        # Spark's SQL INTERSECT/EXCEPT (distinct); all three counters
+        # come back in ONE job (single-row cross join of the aggregates)
+        # instead of one job per count. The symmetric difference is
+        # cached so the optional examples collect is a cache read, not a
+        # recompute of both EXCEPTs.
+        sym = left.subtract(right).unionByName(right.subtract(left))
+        if collect_examples:
+            sym = sym.persist()
+        try:
+            row = (
+                left.intersect(right)
+                .agg(F.count(F.lit(1)).alias("passed"))
+                .crossJoin(sym.agg(F.count(F.lit(1)).alias("failed")))
+                .collect()[0]
+            )
+            passed, failed = row["passed"], row["failed"]
+            examples = []
+            if collect_examples and failed:
+                examples = [
+                    tuple(r) for r in sym.limit(collect_examples).collect()
+                ]
+        finally:
+            if collect_examples:
+                sym.unpersist()
         return AggregatedResult(
-            total_records=common + failed,
+            total_records=passed + failed,
             failed=failed,
-            passed=common,
+            passed=passed,
             failed_example=examples,
         )
 

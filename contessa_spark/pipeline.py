@@ -171,6 +171,10 @@ def with_decisions(
 
 LINEAGE_KEY = ["bucket"]
 
+#: layout version of everything under ``base_path`` (output columns,
+#: lineage schema, quality-check schema). Bump when the layout changes.
+SCHEMA_VERSION = 1
+
 
 class QualityFilterPipeline:
     """End-to-end checkpointed run.
@@ -199,6 +203,34 @@ class QualityFilterPipeline:
         self.validate_lineage_path = os.path.join(base_path, "lineage_validate")
         self.quality_path = os.path.join(base_path, "quality")
 
+    # ---- schema version -------------------------------------------
+
+    def check_schema_version(self) -> int:
+        """Job-start guard standing in for the reference's alembic
+        migration flow (contessa/migration.py:7-132,
+        migration_runner.py:14-65): the reference checks the alembic
+        version table and migrates before writing results; here a
+        version marker (an Iceberg table property in production) is
+        checked and a mismatch refuses the run instead of silently
+        mixing result-table layouts."""
+        import json
+
+        marker = os.path.join(self.base, "schema_version.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                found = json.load(f).get("schema_version")
+            if found != SCHEMA_VERSION:
+                raise ValueError(
+                    f"result tables at {self.base} were written with "
+                    f"schema_version={found}, this build expects "
+                    f"{SCHEMA_VERSION} — migrate or use a fresh base_path"
+                )
+            return found
+        os.makedirs(self.base, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"schema_version": SCHEMA_VERSION}, f)
+        return SCHEMA_VERSION
+
     # ---- checkpoint -----------------------------------------------
 
     def completed_buckets(self, mode: str = "full") -> List[int]:
@@ -223,6 +255,7 @@ class QualityFilterPipeline:
         cfg = self.cfg
         task_ts = task_ts or datetime.now()
 
+        self.check_schema_version()
         done = set(self.completed_buckets(mode))
         lineage_path = (
             self.validate_lineage_path if mode == "validate" else self.lineage_path
@@ -285,8 +318,16 @@ class QualityFilterPipeline:
             shuffled = narrow.repartition(cfg.n_buckets, F.col("bucket"))
             decided = with_decisions(annotate(shuffled), cfg, bucket=False)
             projected = decided.select(*out_cols)
+            # crash-safe resume: dynamic partition OVERWRITE, not append.
+            # A crash between the output write and the lineage merge
+            # leaves partial bucket files with no lineage row; the
+            # resumed run re-processes those buckets and must REPLACE
+            # their partitions — append would duplicate rows. Dynamic
+            # mode touches only partitions present in this run's data,
+            # so completed (resume-skipped) buckets are preserved.
             (
-                projected.write.mode("append")
+                projected.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(self.output_path)
             )

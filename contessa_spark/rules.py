@@ -260,8 +260,9 @@ RULES = {
 
 
 def get_rule_cls(type_key: str):
-    """Registry lookup (contessa/rules.py:317-324)."""
+    """Registry lookup (contessa/rules.py:317-324 — raises ValueError
+    for unknown types, matching the reference exactly)."""
     try:
         return RULES[type_key]
     except KeyError:
-        raise NotImplementedError(f"Rule type `{type_key}` is not supported") from None
+        raise ValueError(f"The rule type `{type_key}` is unknown to us.") from None

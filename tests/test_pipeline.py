@@ -124,6 +124,55 @@ def test_resume_skips_completed_buckets(spark, web_df, tmp_path_factory, golden)
     assert summary2["input"] == N_DOCS  # lineage totals unchanged
 
 
+def test_crash_between_write_and_lineage_is_idempotent(
+    spark, web_df, tmp_path_factory
+):
+    """A crash after the parquet write but before the lineage merge
+    leaves output files with no lineage row; the resumed run must
+    REPLACE those partitions (dynamic partition overwrite), never
+    append duplicates (ADVICE r1)."""
+    base = str(tmp_path_factory.mktemp("crash"))
+    cfg = PipelineConfig(n_buckets=8)
+    pipe = QualityFilterPipeline(spark, base, cfg)
+    pipe.run(web_df, task_ts=TASK_TS)
+
+    # simulate the crash window: drop the lineage rows of two buckets
+    # while their output partitions stay on disk
+    from contessa_spark.pipeline import LINEAGE_KEY
+    from contessa_spark.results import LocalSmallTableMerge
+
+    import shutil
+
+    lineage = LocalSmallTableMerge.read(pipe.lineage_path)
+    crashed = sorted(lineage["bucket"].unique())[:2]
+    survivors = lineage[~lineage["bucket"].isin(crashed)]
+    shutil.rmtree(pipe.lineage_path)
+    LocalSmallTableMerge.merge(survivors, pipe.lineage_path, LINEAGE_KEY)
+
+    summary = pipe.run(web_df, task_ts=TASK_TS)
+    assert summary["resumed_buckets_skipped"] == 8 - len(crashed)
+    out = spark.read.parquet(pipe.output_path)
+    assert out.count() == N_DOCS  # no duplicated rows in re-done buckets
+    assert out.select("url").distinct().count() == N_DOCS
+    lineage2 = LocalSmallTableMerge.read(pipe.lineage_path)
+    assert int(lineage2["input_count"].sum()) == N_DOCS
+
+
+def test_schema_version_guard(spark, web_df, tmp_path):
+    """A base_path written with a different schema_version refuses to
+    run (the reference's migration-check semantic, migration.py:7-132)."""
+    import json
+    import os
+
+    base = str(tmp_path / "ver")
+    pipe = QualityFilterPipeline(spark, base, PipelineConfig(n_buckets=4))
+    assert pipe.check_schema_version() == 1  # fresh path: marker written
+    with open(os.path.join(base, "schema_version.json"), "w") as f:
+        json.dump({"schema_version": 999}, f)
+    with pytest.raises(ValueError, match="schema_version"):
+        pipe.run(web_df, task_ts=TASK_TS)
+
+
 def test_max_len_rule_fires(spark, pipeline_result):
     """The generator plants over-length docs; the max_len rule must
     actually fail some rows (regression: a never-firing rule)."""

@@ -90,6 +90,17 @@ def test_pipeline_udf_evaluated_once(spark):
     assert plan.count("split(") <= 2
 
 
+def test_doc_scrub_udf_evaluated_once(spark):
+    """The driver-contract doc_scrub query must run the scrub UDF once
+    per row — projecting two fields of s(col) separately would embed
+    the UDF twice (two ArrowEvalPython nodes)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["doc_scrub"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_topk_broadcasts_query_side(spark):
     from contessa_spark.operators.similarity import brute_force_topk
 

@@ -145,5 +145,6 @@ def test_description_mandatory():
 
 
 def test_unknown_rule_type():
-    with pytest.raises(NotImplementedError):
+    # ValueError, matching the reference (contessa/rules.py:317-324)
+    with pytest.raises(ValueError):
         get_rule_cls("nope")
