@@ -260,6 +260,21 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 10⁹-vector path: LSH bucket → capped group pair emission →
+    # exact codegen-dot verify. Low threshold (0.45 ⇒ θ≈63°) needs few
+    # bits + many tables for recall (1-(1-p^2)^8 ≈ 0.97 at p≈0.65).
+    from contessa_spark.operators.similarity import hyperplane_lsh_join
+
+    return hyperplane_lsh_join(
+        _load(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        n_bits=2,
+        n_tables=8,
+        max_df=2000,
+    )
+
+
 def _ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.similarity import brute_force_topk
 
@@ -393,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "embedding_near_dups": _embedding_near_dups,
+        "embedding_near_dups_lsh": _embedding_near_dups_lsh,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
@@ -599,6 +615,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         # doc_langid, doc_scrub, dedup_minhash_lsh, dedup_simhash,
-        # ann_topk_lsh, ann_topk_ivf: model-based / approximate —
-        # intentionally rows-only (no ANSI-SQL-expressible oracle).
+        # embedding_near_dups_lsh, ann_topk_lsh, ann_topk_ivf:
+        # model-based / approximate — intentionally rows-only (no
+        # ANSI-SQL-expressible oracle); each is gated by a pytest
+        # equality/recall assert instead (tests/test_dedup.py,
+        # tests/test_plans.py).
     }

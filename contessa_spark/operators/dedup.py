@@ -26,6 +26,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _cap_groups(
+    groups: DataFrame, list_col: str, max_df: Optional[int], observation=None
+) -> DataFrame:
+    """Document-frequency cap for pair-emitting group passes.
+
+    Pair emission from a posting list / band bucket is O(|group|²): one
+    shingle or band key shared by 10⁶ docs would emit 5·10¹¹ pairs from
+    a single group — the only quadratic blowup in these plans at web
+    scale. Groups larger than ``max_df`` are DROPPED before emission
+    (standard practice: a shingle common to millions of documents
+    carries no near-duplicate signal, and a band bucket that hot is an
+    exact-dup cluster that ``exact_dedup`` should have removed first).
+
+    Pass a ``pyspark.sql.Observation`` to get, after the first action,
+    ``dropped_groups`` and ``dropped_postings`` — what was dropped is
+    never silent.
+    """
+    if max_df is None:
+        return groups
+    if observation is not None:
+        groups = groups.observe(
+            observation,
+            F.count(F.when(F.size(list_col) > max_df, 1)).alias("dropped_groups"),
+            F.coalesce(
+                F.sum(F.when(F.size(list_col) > max_df, F.size(list_col))),
+                F.lit(0),
+            ).alias("dropped_postings"),
+        )
+    return groups.where(F.size(list_col) <= max_df)
+
+
 # ---------------------------------------------------------------- exact
 
 def fingerprint_col(text_col: str = "text") -> Column:
@@ -115,6 +146,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: Optional[int] = None,
+    observation=None,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle sets for every pair
     sharing ≥1 shingle.
@@ -124,6 +157,12 @@ def ngram_jaccard_pairs(
     shingles per pair → |A∪B| = |A|+|B|−common. Pairs with no shared
     shingle never materialize, so cost tracks true near-dup density.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    ``max_df`` (recommended at scale, e.g. 500) drops posting lists
+    longer than that before pair emission — see ``_cap_groups``. With a
+    cap, pairs whose overlap includes a dropped hot shingle undercount
+    ``common`` by the number of dropped shared shingles (recall-only
+    loss; the reported jaccard of surviving pairs is a lower bound).
     """
     import pandas as pd
 
@@ -140,6 +179,7 @@ def ngram_jaccard_pairs(
         .where(F.size("_docs") > 1)
         .select("_docs")
     )
+    groups = _cap_groups(groups, "_docs", max_df, observation)
 
     def emit_pairs(batches):
         for pdf in batches:
@@ -257,6 +297,8 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_df: Optional[int] = None,
+    observation=None,
 ) -> DataFrame:
     """MinHash → band → bucket-join → exact-Jaccard verify.
 
@@ -267,6 +309,11 @@ def minhash_lsh_candidates(
     rows — and only candidate pairs are verified against true shingle
     sets. This is the plan that survives 10^12 docs; the exact
     ``ngram_jaccard_pairs`` inverted index is the small-scale oracle.
+
+    ``max_df`` (recommended at scale) drops band buckets larger than
+    that before candidate emission — see ``_cap_groups``. A bucket that
+    hot is an exact-dup cluster (run ``exact_dedup`` first) or a
+    degenerate band; dropping costs recall only on such clusters.
     """
     keys = df.select(
         F.col(id_col).alias("_id"),
@@ -283,6 +330,7 @@ def minhash_lsh_candidates(
         .where(F.size("_ids") > 1)
         .select("_ids")
     )
+    groups = _cap_groups(groups, "_ids", max_df, observation)
 
     def emit_pairs(batches):
         for pdf in batches:

@@ -183,6 +183,168 @@ def hyperplane_lsh_topk(
     )
 
 
+def _train_ivf_pivots(
+    corpus: DataFrame,
+    vec_df_col: str,
+    dim: int,
+    n_cells: int,
+    seed: int,
+    train_iters: int,
+    train_fraction: Optional[float],
+) -> List[List[float]]:
+    """Spherical-k-means coarse quantizer: hash-selected init rows +
+    ``train_iters`` Lloyd iterations (assign to argmax dot, update =
+    renormalized per-cell mean). Each iteration is one scan + one tiny
+    aggregate; at 10^12 rows train on a sample (``train_fraction``) —
+    quantizer quality needs thousands of vectors, not all of them."""
+    import math as _math
+
+    train = corpus
+    if train_fraction is not None:
+        train = corpus.sample(fraction=train_fraction, seed=seed)
+    init = (
+        train.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+
+    def _unit(v):
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        return [float(x) / n for x in v]
+
+    pivots = [_unit(r[vec_df_col]) for r in init]
+    from contessa_spark.operators.dedup import dot_fixed
+
+    for _ in range(train_iters):
+        scores = F.array(
+            *[
+                dot_fixed(
+                    F.col(vec_df_col).cast("array<double>"),
+                    F.array(*[F.lit(x) for x in p]),
+                    dim,
+                )
+                for p in pivots
+            ]
+        )
+        assigned = train.withColumn(
+            "_cell", F.array_position(scores, F.array_max(scores)) - 1
+        )
+        sums = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col(vec_df_col), i + 1).cast("double")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_pivots = list(pivots)
+        for r in sums:
+            new_pivots[int(r["_cell"])] = _unit([r[f"_s{i}"] for i in range(dim)])
+        pivots = new_pivots  # cells that captured no rows keep their pivot
+    return pivots
+
+
+def hyperplane_lsh_join(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_df: Optional[int] = None,
+    observation=None,
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH pre-bucketing — the 10⁹-vector
+    path that ``embedding_near_dups`` (exact all-pairs) cannot walk.
+
+    Plan: per table, a sign-signature bucket id (deterministic
+    hyperplanes, pure JVM); candidate pairs emitted per (table, bucket)
+    group — same single-pass group emission as MinHash banding,
+    including the ``max_df`` hot-bucket cap (``dedup._cap_groups``) —
+    then every candidate is verified with an exact codegen dot product.
+    No cross join and no all-blocks-pair join anywhere; shuffles carry
+    (table, bucket, id) entries and candidate id pairs only.
+
+    Recall for a pair at cosine s: 1 − (1 − p^n_bits)^n_tables with
+    p = 1 − arccos(s)/π (Charikar 2002). At threshold 0.95 the default
+    (8 bits × 6 tables) gives ≈ 0.96; for low thresholds use fewer
+    bits / more tables.
+    """
+    import pandas as pd
+
+    from contessa_spark.operators.dedup import _cap_groups, dot_fixed, norm_fixed
+
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    first = base.select(F.size("_v")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = first[0]
+
+    ent = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + 7919 * t)
+        ent.append(
+            base.select(
+                "_id",
+                F.lit(t).alias("tbl"),
+                signature_col(F.col("_v"), planes).alias("bucket"),
+            )
+        )
+    entries = ent[0]
+    for e in ent[1:]:
+        entries = entries.unionByName(e)
+
+    groups = (
+        entries.groupBy("tbl", "bucket")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .where(F.size("_ids") > 1)
+        .select("_ids")
+    )
+    groups = _cap_groups(groups, "_ids", max_df, observation)
+
+    def emit_pairs(batches):
+        for pdf in batches:
+            ia, ib = [], []
+            for ids in pdf["_ids"]:
+                ds = sorted(set(ids))
+                for x in range(len(ds)):
+                    for y in range(x + 1, len(ds)):
+                        ia.append(ds[x])
+                        ib.append(ds[y])
+            yield pd.DataFrame({"id_a": ia, "id_b": ib})
+
+    cand = groups.mapInPandas(emit_pairs, schema="id_a long, id_b long").distinct()
+
+    normed = base.withColumn("_n", norm_fixed(F.col("_v"), dim))
+    a = normed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = normed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -192,32 +354,41 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_iters: int = 3,
+    train_fraction: Optional[float] = None,
 ) -> DataFrame:
-    """IVF-flat ANN: pivot vectors = hash-selected corpus rows
-    (deterministic coarse quantizer, no k-means iterations); every
-    vector is assigned to its nearest cell, queries probe the n_probe
-    nearest cells, exact re-rank inside.
+    """IVF-flat ANN: spherical-k-means pivots (deterministic hash init
+    + Lloyd refinement — see ``_train_ivf_pivots``), every vector
+    assigned to its best cell, queries probe the ``n_probe`` best
+    cells, exact re-rank inside.
 
-    The pivot set is tiny → collected once and broadcast as literals;
-    assignment and re-rank are JVM expressions.
+    The pivot set is tiny → broadcast as literals; assignment and
+    re-rank are expanded ``element_at`` dot products that stay inside
+    whole-stage codegen (higher-order array lambdas would not — the
+    same measurement that motivated ``dot_fixed``). Pivots are unit
+    vectors, so argmax-dot ≡ argmax-cosine without per-row norms.
     """
+    from contessa_spark.operators.dedup import dot_fixed, norm_fixed
+
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    # deterministic pivot choice: smallest xxhash64(id, seed)
-    pivots = [
-        (r["neighbor_id"], [float(x) for x in r["_cv"]])
-        for r in corpus.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
-    ]
+    first = corpus.select(F.size("_cv")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    dim = first[0]
+    pivots = _train_ivf_pivots(
+        corpus, "_cv", dim, n_cells, seed, train_iters, train_fraction
+    )
 
     def cell_scores(vec: Column) -> Column:
-        """array of cosine-to-pivot, index = cell id."""
-        scores = []
-        for _, pv in pivots:
-            lit = F.array(*[F.lit(x) for x in pv])
-            scores.append(cosine_sim(vec, lit))
-        return F.array(*scores)
+        """array of dot-to-unit-pivot, index = cell id (codegen-side)."""
+        return F.array(
+            *[
+                dot_fixed(vec, F.array(*[F.lit(x) for x in p]), dim)
+                for p in pivots
+            ]
+        )
 
     def best_cells(vec: Column, n: int) -> Column:
         scores = cell_scores(vec)
@@ -228,11 +399,11 @@ def ivf_topk(
 
     c_assigned = corpus.withColumn(
         "cell", F.element_at(best_cells(F.col("_cv").cast("array<double>"), 1), 1)
-    )
+    ).withColumn("_cn", norm_fixed(F.col("_cv").cast("array<double>"), dim))
     queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     q_assigned = queries.withColumn(
         "cell", F.explode(best_cells(F.col("_qv").cast("array<double>"), n_probe))
-    )
+    ).withColumn("_qn", norm_fixed(F.col("_qv").cast("array<double>"), dim))
     scored = (
         c_assigned.join(q_assigned, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -242,7 +413,12 @@ def ivf_topk(
             # (raw-double ordering can disagree with an external oracle
             # in the last ulp)
             F.round(
-                cosine_sim(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")),
+                dot_fixed(
+                    F.col("_qv").cast("array<double>"),
+                    F.col("_cv").cast("array<double>"),
+                    dim,
+                )
+                / (F.col("_qn") * F.col("_cn")),
                 6,
             ),
         )
