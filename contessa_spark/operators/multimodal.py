@@ -36,6 +36,82 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 _MAGIC = b"FAKEIMG1"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real, dependency-free PNG decode (public spec, RFC 2083):
+    chunk walk → IHDR dims; for 8-bit non-interlaced gray/RGB/RGBA/GA
+    images the IDAT stream is zlib-inflated and the five scanline
+    filters (None/Sub/Up/Average/Paeth) are reversed to compute
+    ``mean_byte`` over the raw pixel bytes. Other bit depths /
+    interlaced images return dims with ``mean_byte=None``.
+
+    Pure-python unfilter is fine for the metadata path; a production
+    pixel path would swap in Pillow inside this same function body.
+    """
+    import struct
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    width = height = bit_depth = color_type = interlace = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc32
+    if width is None:
+        return {"width": None, "height": None, "mean_byte": None, "ok": False}
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0 or not idat:
+        return {"width": int(width), "height": int(height), "mean_byte": None, "ok": True}
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    total = 0
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(height):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        total += sum(line)
+        prev = line
+    n = stride * height
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_byte": int(total // n) if n else None,
+        "ok": True,
+    }
 
 
 def fake_image_bytes(width: int, height: int, mean_byte: int) -> bytes:
@@ -48,14 +124,18 @@ def fake_image_bytes(width: int, height: int, mean_byte: int) -> bytes:
 
 
 def decode_image_bytes(payload: bytes) -> dict:
-    """Pure core: parse the fake header → metadata. Real formats raise
-    NotImplementedError (clearly-marked stub — wire Pillow here)."""
+    """Pure core: PNG (real decode, see ``_decode_png``) or the
+    FAKEIMG1 test container → metadata. Other formats raise
+    NotImplementedError (clearly-marked stub — wire Pillow/libav here;
+    the distributed plumbing above does not change)."""
     if payload is None or len(payload) < len(_MAGIC):
         return {"width": None, "height": None, "mean_byte": None, "ok": False}
+    if payload.startswith(_PNG_MAGIC):
+        return _decode_png(payload)
     if not payload.startswith(_MAGIC):
         raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "only the deterministic FAKEIMG1 container is decodable"
+            "only PNG and the deterministic FAKEIMG1 container are "
+            "decodable in this environment (no image libraries baked in)"
         )
     w, h, m = struct.unpack_from("<IIB", payload, len(_MAGIC))
     return {"width": w, "height": h, "mean_byte": m, "ok": True}

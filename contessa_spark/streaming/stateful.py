@@ -2,17 +2,22 @@
 
 The canonical streaming ingest problem for web corpora: the same url
 re-appears across crawl snapshots/micro-batches; downstream must see
-each url once (first crawl wins). Spark's ``dropDuplicates`` keeps
-unbounded state with no grouping control; this implements the operator
-explicitly with ``applyInPandasWithState`` (the
-arbitrary-stateful-processing API), keyed by url hash bucket:
+each url once — the EARLIEST capture (min ``warc_ts``) within a
+micro-batch, the first-arriving batch across batches (matching the
+batch pipeline's ``dedup_urls`` stage as closely as append-mode
+streaming allows). Spark's ``dropDuplicates`` keeps unbounded state
+with no grouping control; this implements the operator explicitly with
+``applyInPandasWithState`` (the arbitrary-stateful-processing API),
+keyed by url hash bucket:
 
 * state per bucket = the set of url fingerprints already emitted
   (stored as a binary-packed array — compact, no per-url state rows);
-* each micro-batch emits only rows whose fingerprint is new, then
-  merges the fingerprints into state;
-* a processing-time timeout (optional) expires idle buckets, bounding
-  state for long-running streams.
+* each micro-batch is sorted by ``warc_ts`` and emits only rows whose
+  fingerprint is new, then merges the fingerprints into state;
+* ``timeout_minutes`` arms a processing-time timeout per bucket:
+  buckets idle longer than that have their state evicted, bounding
+  state on endless streams (urls may then re-emit — the documented
+  trade-off of any TTL'd dedup).
 
 Bucketing by ``pmod(xxhash64(url), n_buckets)`` keeps state shards
 balanced regardless of hot domains — same salting story as the batch
@@ -21,7 +26,7 @@ pipeline.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterable, Iterator, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,45 +41,71 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _dedup_fn(
-    key: Tuple[Any, ...],
-    batches: Iterable,
-    state: GroupState,
-) -> Iterator:
-    import pandas as pd
+def make_dedup_fn(timeout_minutes: Optional[int] = None):
+    """Build the per-group state handler (closure carries the timeout
+    so the worker can re-arm it after every batch)."""
 
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in batches:
-        fps = pdf["_fp"]
-        fresh_mask = []
-        for fp in fps:
-            fp = int(fp)
-            if fp in seen:
-                fresh_mask.append(False)
-            else:
-                seen.add(fp)
-                fresh_mask.append(True)
-        kept = pdf[pd.Series(fresh_mask, index=pdf.index)]
-        if len(kept):
-            out.append(kept[["url", "warc_ts", "text", "lang", "bucket"]])
-    state.update((list(seen),))
-    if out:
-        yield from out
+    def _dedup_fn(
+        key: Tuple[Any, ...],
+        batches: Iterable,
+        state: GroupState,
+    ) -> Iterator:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # idle-bucket eviction: drop the fingerprint set entirely
+            state.remove()
+            return
+
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in batches:
+            # earliest capture wins: scan the batch in warc_ts order so
+            # a url repeated within one micro-batch emits its oldest row
+            # (stable sort keeps arrival order for equal timestamps)
+            pdf = pdf.sort_values("warc_ts", kind="mergesort")
+            fps = pdf["_fp"]
+            fresh_mask = []
+            for fp in fps:
+                fp = int(fp)
+                if fp in seen:
+                    fresh_mask.append(False)
+                else:
+                    seen.add(fp)
+                    fresh_mask.append(True)
+            kept = pdf[pd.Series(fresh_mask, index=pdf.index)]
+            if len(kept):
+                out.append(kept[["url", "warc_ts", "text", "lang", "bucket"]])
+        state.update((list(seen),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60_000)
+        if out:
+            yield from out
+
+    return _dedup_fn
 
 
 def streaming_url_dedup(
-    stream_df: DataFrame, n_buckets: int = 64
+    stream_df: DataFrame,
+    n_buckets: int = 64,
+    timeout_minutes: Optional[int] = None,
 ) -> DataFrame:
     """First-seen URL dedup across micro-batches (append mode — each
-    url is emitted exactly once, on first sight)."""
+    url is emitted exactly once, on first sight; within a micro-batch
+    the earliest ``warc_ts`` row wins). With ``timeout_minutes`` set,
+    idle buckets expire their state (bounded state on long streams)."""
     with_key = stream_df.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     ).withColumn("_fp", F.xxhash64("url"))
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return with_key.groupBy("bucket").applyInPandasWithState(
-        _dedup_fn,
+        make_dedup_fn(timeout_minutes),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

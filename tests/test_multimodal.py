@@ -1,0 +1,113 @@
+"""Multimodal decode: the real PNG path (dependency-free decoder) and
+the FAKEIMG1 test container, both through the pure core and the
+mapInPandas plumbing."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from contessa_spark.operators.multimodal import (
+    decode_image_bytes,
+    decode_images,
+    fake_image_bytes,
+)
+
+
+def _png_encode(pixels: np.ndarray, color_type: int, filters) -> bytes:
+    """Minimal test-side PNG writer: 8-bit, non-interlaced; one filter
+    type per scanline (exercises every unfilter branch)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    flat = pixels.reshape(h, w * channels).astype(np.int64)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        left = np.concatenate([np.zeros(channels, dtype=np.int64), line[:-channels]]) if w * channels > channels else np.zeros_like(line)
+        upleft = np.concatenate([np.zeros(channels, dtype=np.int64), prev[:-channels]]) if w * channels > channels else np.zeros_like(line)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = line - pred
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (6, 4)])
+def test_png_decode_all_filters(color_type, channels):
+    rng = np.random.RandomState(3 + color_type)
+    px = rng.randint(0, 256, size=(7, 5, channels), dtype=np.uint8)
+    payload = _png_encode(px, color_type, filters=[0, 1, 2, 3, 4])
+    d = decode_image_bytes(payload)
+    assert d["ok"]
+    assert (d["width"], d["height"]) == (5, 7)
+    assert d["mean_byte"] == int(px.astype(np.int64).sum() // px.size)
+
+
+def test_png_unsupported_depth_returns_dims_only():
+    # 16-bit image: dims from IHDR, no pixel stats
+    ihdr = struct.pack(">IIBBBBB", 9, 4, 16, 0, 0, 0, 0)
+    body = b"IHDR" + ihdr
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+    d = decode_image_bytes(payload)
+    assert d == {"width": 9, "height": 4, "mean_byte": None, "ok": True}
+
+
+def test_fake_container_still_decodes():
+    d = decode_image_bytes(fake_image_bytes(32, 16, 7))
+    assert (d["width"], d["height"], d["mean_byte"], d["ok"]) == (32, 16, 7, True)
+
+
+def test_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"GIF89a" + b"\x00" * 32)
+
+
+def test_decode_images_spark_path_with_png(spark):
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(8):
+        px = rng.randint(0, 256, size=(4 + i, 3 + i, 3), dtype=np.uint8)
+        rows.append((i, bytearray(_png_encode(px, 2, filters=[0, 1, 2, 3, 4])),
+                     int(px.astype(np.int64).sum() // px.size)))
+    df = spark.createDataFrame(
+        [(r[0], bytes(r[1])) for r in rows], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in decode_images(df).collect()}
+    for i, _, mean in rows:
+        assert out[i]["ok"]
+        assert (out[i]["width"], out[i]["height"]) == (3 + i, 4 + i)
+        assert out[i]["mean_byte"] == mean

@@ -1,11 +1,87 @@
 """Cross-batch stateful URL dedup: duplicates in later micro-batches
-must be suppressed by the per-bucket state."""
+must be suppressed by the per-bucket state; idle buckets must expire
+their state when a timeout is configured; within a batch the earliest
+warc_ts capture wins."""
 
 import os
 
+import pandas as pd
+
 from contessa_spark.sources.webgen import generate
-from contessa_spark.streaming.stateful import streaming_url_dedup
+from contessa_spark.streaming.stateful import make_dedup_fn, streaming_url_dedup
 from contessa_spark.streaming.quality_stream import read_web_stream
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the handler directly."""
+
+    def __init__(self, seen=None, timed_out=False):
+        self._seen = seen
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._seen is not None
+
+    @property
+    def get(self):
+        return (self._seen,)
+
+    def update(self, v):
+        self._seen = v[0]
+
+    def remove(self):
+        self.removed = True
+        self._seen = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _batch(rows):
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "text", "lang", "bucket", "_fp"]
+    )
+
+
+def test_idle_bucket_state_expires():
+    """A timed-out invocation must evict the fingerprint set and emit
+    nothing; a later sighting of an old url is then re-emitted (the
+    documented TTL trade-off)."""
+    fn = make_dedup_fn(timeout_minutes=5)
+    state = _FakeState(seen=[1, 2, 3], timed_out=True)
+    out = list(fn((0,), iter([]), state))
+    assert out == []
+    assert state.removed and not state.exists
+
+    # next batch after eviction: url 1 re-emits and the timeout re-arms
+    state2 = _FakeState()
+    b = _batch([("u1", pd.Timestamp("2024-01-01"), "t", "en", 0, 1)])
+    out2 = list(fn((0,), iter([b]), state2))
+    assert len(out2) == 1 and len(out2[0]) == 1
+    assert state2.timeout_ms == 5 * 60_000
+    assert state2.get[0] == [1]
+
+
+def test_earliest_capture_wins_within_batch():
+    """Same url twice in one micro-batch, later capture first in
+    arrival order → the EARLIER warc_ts row must be the one emitted
+    (matching the batch dedup_urls semantics)."""
+    fn = make_dedup_fn()
+    state = _FakeState()
+    b = _batch(
+        [
+            ("u1", pd.Timestamp("2024-02-01"), "late", "en", 0, 1),
+            ("u1", pd.Timestamp("2024-01-01"), "early", "en", 0, 1),
+            ("u2", pd.Timestamp("2024-03-01"), "only", "en", 0, 2),
+        ]
+    )
+    out = pd.concat(list(fn((0,), iter([b]), state)))
+    assert len(out) == 2
+    assert out[out["url"] == "u1"]["text"].iloc[0] == "early"
+    assert state.timeout_ms is None  # no timeout configured → not armed
 
 
 def test_streaming_url_dedup_across_batches(spark, tmp_path):
