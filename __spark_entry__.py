@@ -456,16 +456,20 @@ def _rule_counts_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+# RE2 (DuckDB) equivalent of the engine's (?U)\s Unicode-whitespace
+# contract: RE2 has no (?U); \p{Z} + \x09-\x0d + \x85 is the same set.
+_WS = r"\x09-\x0d\x85\p{Z}"
+
 _TEXTSTATS_CTE = """
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(text, '[{ws}]+'), x -> x <> '') AS ws
   FROM documents
 ), s AS (
   SELECT doc_id,
     length(text)::BIGINT AS n_chars,
     CASE WHEN length(text) = 0 THEN 1.0
-         ELSE length(regexp_replace(text, '[A-Za-zÀ-ÿ0-9\\s]', '', 'g')) / length(text) END AS symbol_ratio,
+         ELSE length(regexp_replace(text, '[A-Za-zÀ-ÿ0-9{ws}]', '', 'g')) / length(text) END AS symbol_ratio,
     CASE WHEN len(ws) = 0 THEN 1.0
          ELSE 1.0 - len(list_distinct(ws)) / len(ws) END AS repetition,
     CASE WHEN len(ws) = 0 THEN 0.0
@@ -479,7 +483,7 @@ WITH w AS (
 
 def oracle_sql() -> dict[str, str]:
     stops = _stopword_array_sql()
-    textstats = _TEXTSTATS_CTE.format(stops=stops)
+    textstats = _TEXTSTATS_CTE.format(stops=stops, ws=_WS)
     return {
         "rule_counts_lineitem": _rule_counts_oracle(),
         "rule_time_filter_events": (
@@ -510,10 +514,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM p, fl, fr"
         ),
         "doc_token_counts": (
-            "SELECT doc_id, "
-            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens, "
-            "len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\\s]'))::BIGINT AS bpeish_tokens, "
-            "length(text)::BIGINT AS n_chars FROM documents"
+            f"SELECT doc_id, "
+            f"len(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> ''))::BIGINT AS ws_tokens, "
+            f"len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9{_WS}]'))::BIGINT AS bpeish_tokens, "
+            f"length(text)::BIGINT AS n_chars FROM documents"
         ),
         "doc_quality_scores": textstats + (
             "SELECT doc_id, n_chars, round(symbol_ratio, 6) AS symbol_ratio, "
@@ -529,16 +533,16 @@ def oracle_sql() -> dict[str, str]:
             "AND mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS keep FROM s"
         ),
         "doc_fingerprints": (
-            "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
-            "AS fingerprint FROM documents"
+            f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
+            f"AS fingerprint FROM documents"
         ),
         "dedup_exact": (
-            "SELECT min(doc_id) AS doc_id FROM documents "
-            "GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+            f"SELECT min(doc_id) AS doc_id FROM documents "
+            f"GROUP BY md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g'))"
         ),
         "dedup_ngram_jaccard": (
-            "WITH w AS (SELECT doc_id, "
-            " list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents), "
+            f"WITH w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(lower(text), '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
             "sh AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
             " for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS shingles FROM w), "
             "e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh) "

@@ -12,6 +12,15 @@ exactly:
 Tokenization is "split on whitespace runs, drop empties" in both.
 The letter class includes Latin-1 accents so de/fr/es/it/cs text is
 not penalized as symbols.
+
+Whitespace contract: "whitespace" means the Unicode White_Space set
+(NBSP, U+2028/29, U+3000, …) on BOTH sides — the JVM regexes carry the
+``(?U)`` (UNICODE_CHARACTER_CLASS) flag so Java ``\\s`` matches it,
+and the Python keep/delete table is built from the same explicit set.
+Known residual divergence: Python ``str.split()`` additionally treats
+the C0 separators U+001C–001F as whitespace (Java does not) — those
+are unprintable control codes, accepted as out of contract and kept
+out of the property tests.
 """
 
 from __future__ import annotations
@@ -23,16 +32,31 @@ from contessa_spark.functions.langid import SEED_CORPORA
 
 # ---- shared constants ------------------------------------------------
 
-_LETTER_CLASS = r"[A-Za-zÀ-ÿ0-9\s]"
-_SYMBOL_RE = re.compile(_LETTER_CLASS)
+#: the Unicode White_Space code points (what Java (?U)\s matches)
+WS_CHARS = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_SET = frozenset(WS_CHARS)
+
+#: JVM (Java-regex) form — (?U) makes \s match the White_Space set
+_LETTER_CLASS = r"(?U)[A-Za-zÀ-ÿ0-9\s]"
+_ALNUM_RE = re.compile(r"[A-Za-zÀ-ÿ0-9]")
+
+#: DuckDB/RE2 equivalent of (?U)\s (RE2 has no (?U); \p{Z} = separators,
+#: \x09-\x0d + \x85 the rest) — used by the oracle SQL builders
+DUCKDB_WS = r"\x09-\x0d\x85\p{Z}"
 
 # str.translate table deleting every keep-class char — C-speed
-# equivalent of _SYMBOL_RE.sub("", t) (regex sub was the hotspot at
-# ~150µs/doc). All \s-matching codepoints are < 0x3001, so the table
-# covers the regex exactly; chars above stay → counted as symbols,
-# same as the regex.
+# equivalent of the regex sub (regex sub was the hotspot at
+# ~150µs/doc). Built from the EXPLICIT keep set (alnum ∪ White_Space)
+# so it agrees with the JVM (?U) class even on NBSP/U+2028/U+3000; all
+# keep codepoints are ≤ 0x3000, chars above stay → counted as symbols.
 _KEEP_DELETE_TABLE = {
-    cp: None for cp in range(0x3001) if _SYMBOL_RE.match(chr(cp))
+    cp: None
+    for cp in range(0x3001)
+    if _ALNUM_RE.match(chr(cp)) or chr(cp) in _WS_SET
 }
 
 # stop words: the 25 most frequent tokens of each language's seed
@@ -92,10 +116,12 @@ def py_mean_word_len(text: str) -> float:
 # ---- Spark Column builders (the engine path) -------------------------
 
 def spark_words_col(text_col: str = "text"):
-    """split-on-whitespace-runs, drop empties — matches ``str.split()``."""
+    """split-on-whitespace-runs, drop empties — matches ``str.split()``
+    (modulo U+001C–1F, see module docstring); (?U) makes Java \\s cover
+    Unicode whitespace like Python's."""
     from pyspark.sql import functions as F
 
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    return F.filter(F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != F.lit(""))
 
 
 def spark_stat_columns(text_col: str = "text", words_col: str = None):

@@ -63,7 +63,7 @@ def fingerprint_col(text_col: str = "text") -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text. JVM-side."""
     c = F.col(text_col)
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"(?U)\s+", " ")
     return F.md5(norm.cast("binary"))
 
 
@@ -100,7 +100,7 @@ def shingle_col(text_col: str = "text", k: int = 3) -> Column:
     measured ~1.8ms/doc on 1.4k-word docs. This form is kept as the
     SQL-comparable reference; the hot paths use ``shingles_udf``
     (identical output, ~40× faster)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"(?U)\s+"), lambda x: x != F.lit(""))
     n = F.size(words)
     shingles = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),

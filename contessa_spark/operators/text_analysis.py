@@ -17,14 +17,15 @@ from contessa_spark.operators.dedup import fingerprint_col
 
 # BPE-ish token pattern: word pieces, numbers, or single non-space symbols —
 # the classic GPT-2-style pre-tokenizer shape, regex-only approximation.
-BPE_ISH_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
+# (?U): \s = Unicode White_Space, same contract as textstats.
+BPE_ISH_PATTERN = r"(?U)[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, ws_tokens, bpeish_tokens, n_chars) — whitespace tokens and a
     BPE-ish regex token count, both JVM-side."""
     c = F.col(text_col)
-    ws = F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+    ws = F.size(F.filter(F.split(c, r"(?U)\s+"), lambda x: x != F.lit("")))
     bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
     return df.select(
         F.col(id_col),
@@ -80,7 +81,7 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """(id, fingerprint md5-of-normalized-text, head_hash rolling-ish
     prefix hash) — cheap doc identity keys for incremental dedup."""
     c = F.col(text_col)
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"(?U)\s+", " ")
     return df.select(
         F.col(id_col),
         fingerprint_col(text_col).alias("fingerprint"),
