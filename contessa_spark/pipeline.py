@@ -70,6 +70,10 @@ class PipelineConfig:
     mwl_max: float = 8.0
     n_buckets: int = 64  # lineage/checkpoint granularity
     dedup_urls: bool = False  # keep earliest warc_ts per url pre-annotation
+    # zstd over the default snappy: ~1.4× smaller text payloads, and
+    # output I/O — not compression CPU — is the serial tail on shared
+    # storage (parallel CPU buys back the encode cost)
+    output_codec: str = "zstd"
 
 
 #: rule definitions in the contessa DSL (dict form, normalizer-ready)
@@ -328,6 +332,7 @@ class QualityFilterPipeline:
             (
                 projected.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
+                .option("compression", cfg.output_codec)
                 .partitionBy("bucket")
                 .parquet(self.output_path)
             )

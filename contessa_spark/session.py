@@ -31,6 +31,16 @@ def get_spark(
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus else 32
+    # Shuffle/spill dir: tmpfs when available. A real cluster gives
+    # every executor its own local disks for shuffle; this sandbox has
+    # ONE shared NVMe (~456 MB/s), which serializes shuffle I/O across
+    # all local[N] threads and skews any scaling measurement. tmpfs
+    # (half of 125 GiB here, far above the ~2 GiB shuffle footprint of
+    # the largest local job) models per-executor disk bandwidth.
+    # Override with SPARK_GRAFT_LOCAL_DIR='' to force the default.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -44,6 +54,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -11,8 +11,10 @@ Distributed shape: ``spark.read.format("binaryFile")`` lists and
 splits *files* across executors, and the parse runs per file inside
 ``mapInPandas`` — each WARC file is one row in, many page rows out.
 WARC files are sized ~1 GB by convention, so file-granular
-parallelism is the natural partitioning; text extraction is a
-placeholder (html tag strip) to be swapped for a real extractor.
+parallelism is the natural partitioning; text extraction is a real
+dependency-free HTML→text pass (``extract_text``): skip-subtree
+handling for script/style/head, entity decoding, block-level newline
+structure, per-line whitespace normalization.
 
 ``write_warc`` exists so tests can round-trip: generator pages →
 WARC bytes → this reader → identical rows.
@@ -61,14 +63,76 @@ def _parse_warc_bytes(data: bytes) -> List[dict]:
     return out
 
 
-def _extract_text(html: bytes) -> str:
-    """Placeholder extractor: strip tags. Swap for a real extractor
-    (the byte-identity invariant binds to whichever extractor ships —
-    keep it pure and shared with the oracle, like scrub_text)."""
-    import re
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "title", "svg", "iframe"}
+)
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "br", "li", "ul", "ol", "dl", "dt", "dd",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "tr", "td", "th", "table", "thead", "tbody",
+        "section", "article", "aside", "header", "footer", "nav", "main",
+        "blockquote", "pre", "figure", "figcaption", "hr", "form",
+    }
+)
 
-    s = html.decode("utf-8", "replace")
-    return re.sub(r"<[^>]*>", "", s).strip()
+
+def extract_text(html: bytes) -> str:
+    """Real, dependency-free HTML→text extraction (stdlib html.parser):
+
+    * script/style/head/template/svg/iframe subtrees are dropped;
+    * character/entity references are decoded (&amp;, &#x27;, …);
+    * block-level tag boundaries become newlines, inline tags nothing;
+    * whitespace is normalized per line (runs → one space), empty lines
+      dropped, lines joined with single newlines.
+
+    Pure and deterministic — the north-rule "byte-identical extracted
+    text per url" invariant binds to THIS function; the WARC reader,
+    the tests, and any oracle all call the same core. Malformed HTML
+    never raises (the parser is resynchronizing by design); bytes are
+    decoded utf-8 with replacement.
+    """
+    from html.parser import HTMLParser
+
+    class _Extractor(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: List[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self._skip += 1
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_startendtag(self, tag, attrs):
+            if tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS and self._skip > 0:
+                self._skip -= 1
+            elif tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self._skip:
+                self.parts.append(data)
+
+    p = _Extractor()
+    p.feed(html.decode("utf-8", "replace"))
+    p.close()
+    lines = []
+    for raw_line in "".join(p.parts).split("\n"):
+        line = " ".join(raw_line.split())
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+# backward-compatible alias (pre-r2 name)
+_extract_text = extract_text
 
 
 def read_warc(
@@ -89,7 +153,7 @@ def read_warc(
                             "url": rec["url"],
                             "warc_ts": rec["warc_ts"],
                             "html": rec["html"],
-                            "text": _extract_text(rec["html"]),
+                            "text": extract_text(rec["html"]),
                             "lang": lang_default,
                         }
                     )

@@ -38,6 +38,42 @@ def test_warc_round_trip(spark, tmp_path):
             assert r["text"] == p["text"]
 
 
+def test_html_extract_text_semantics():
+    """The real extractor: skip-subtrees, entities, block newlines,
+    whitespace normalization, malformed-input resilience."""
+    from contessa_spark.sources.warc import extract_text
+
+    html = b"""<html><head><title>Ignore me</title>
+    <style>body { color: red }</style></head>
+    <body>
+      <script>var x = "never show";</script>
+      <h1>Header&nbsp;One</h1>
+      <p>First   paragraph with &amp; entity and &#x27;quote&#x27;.</p>
+      <div>Second <b>bold inline</b> block.</div>
+      <ul><li>item one</li><li>item two</li></ul>
+      <br/>tail text
+    </body></html>"""
+    out = extract_text(html)
+    lines = out.split("\n")
+    assert "never show" not in out and "color: red" not in out
+    assert "Ignore me" not in out
+    # &nbsp; decoded, then normalized to a plain space (NBSP is in the
+    # whitespace contract), own block line
+    assert "Header One" in lines
+    assert "First paragraph with & entity and 'quote'." in lines
+    assert "Second bold inline block." in lines  # inline tag = no break
+    assert "item one" in lines and "item two" in lines
+    assert lines.index("item one") < lines.index("item two")
+    assert "tail text" in lines
+
+    # malformed html never raises, unclosed skip tags don't eat the doc
+    assert extract_text(b"<p>ok<div><script>bad") == "ok"
+    assert extract_text(b"") == ""
+    assert extract_text(b"plain no tags at all") == "plain no tags at all"
+    # deterministic (byte-identity invariant)
+    assert extract_text(html) == out
+
+
 def test_warc_skips_non_response_records(spark, tmp_path):
     p = tmp_path / "w.warc"
     body = b"HTTP/1.1 200 OK\r\n\r\nhello"
