@@ -347,10 +347,22 @@ def minhash_lsh_candidates(
         groups.mapInPandas(emit_pairs, schema="id_a long, id_b long").distinct()
     )
 
-    # verify: join shingle sets back, exact jaccard via array ops
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles_udf(k)(F.col(text_col)).alias("_sh")
-    ).where(F.size("_sh") > 0)
+    # verify: join shingle sets back, exact jaccard via array ops.
+    # Shingle ONLY the docs that appear in some candidate pair (semi-
+    # join BEFORE the UDF): at web scale candidates ≪ corpus, and
+    # without the filter the shingle UDF would run over every doc a
+    # second time just to be joined away.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", shingles_udf(k)(F.col(text_col)).alias("_sh"))
+        .where(F.size("_sh") > 0)
+    )
     sh_a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet/Iceberg path of web pages")
+    ap.add_argument("--warc", help="directory of WARC files (text extracted on read)")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--base", required=True, help="run directory (output/lineage/quality)")
@@ -48,10 +49,14 @@ def main() -> None:
         from contessa_spark.sources.webgen import generate
 
         df = generate(spark, args.generate, seed=42)
+    elif args.warc:
+        from contessa_spark.sources.warc import read_warc
+
+        df = read_warc(spark, args.warc)
     elif args.input:
         df = spark.read.parquet(args.input)
     else:
-        ap.error("need --input or --generate")
+        ap.error("need --input, --warc, or --generate")
 
     task_ts = (
         datetime.fromisoformat(args.task_ts) if args.task_ts else datetime.now()
