@@ -222,10 +222,40 @@ def _doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic gnarly URLs synthesized from doc_id (the testdata
+    # documents table carries no url column); the oracle builds the
+    # SAME strings and canonicalizes with the same regexes
+    from contessa_spark.functions.urlnorm import canonical_url_col
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://WWW.Example")).otherwise(
+            F.lit("HTTPS://Api.Site")
+        ),
+        (d % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit(".COM:80")).otherwise(F.lit(".ORG:443")),
+        F.when(d % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Path/"), d.cast("string"), F.lit("?q=1"))
+        ),
+        F.lit("#Frag"),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), canonical_url_col(url).alias("canonical_url")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import exact_dedup
 
     return exact_dedup(_load(spark, sf_dir, "documents")).select("doc_id")
+
+
+def _doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import dedup_doc_lines
+
+    return dedup_doc_lines(_load(spark, sf_dir, "documents"))
 
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
         "dedup_exact": _dedup_exact,
+        "url_canonical": _url_canonical,
+        "doc_line_dedup": _doc_line_dedup,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -535,6 +567,37 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": (
             f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
             f"AS fingerprint FROM documents"
+        ),
+        "url_canonical": (
+            "WITH u AS (SELECT doc_id, "
+            " (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example' ELSE 'HTTPS://Api.Site' END "
+            "  || (doc_id % 40)::VARCHAR "
+            "  || CASE WHEN doc_id % 2 = 0 THEN '.COM:80' ELSE '.ORG:443' END "
+            "  || CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/Path/' || doc_id::VARCHAR || '?q=1' END "
+            "  || '#Frag') AS url FROM documents), "
+            "c AS (SELECT doc_id, url, "
+            " lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+            " lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS hostport, "
+            " regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1) AS pathq FROM u) "
+            "SELECT doc_id, url, "
+            "CASE WHEN scheme = '' THEN url ELSE scheme || '://' || "
+            " (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') "
+            "       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') "
+            "       ELSE hostport END) "
+            " || (CASE WHEN pathq = '' THEN '/' ELSE pathq END) END AS canonical_url "
+            "FROM c"
+        ),
+        "doc_line_dedup": (
+            # first-occurrence order is explicit (list_position trick):
+            # DuckDB list_distinct does NOT preserve order, Spark
+            # array_distinct does
+            "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents) "
+            "SELECT doc_id, "
+            "array_to_string([l[i] for i in range(1, len(l)+1) "
+            " if list_position(l, l[i]) = i], chr(10)) AS clean_text, "
+            "len(l)::BIGINT AS n_lines, "
+            "(len(l) - len(list_distinct(l)))::BIGINT AS n_dupe_lines "
+            "FROM t"
         ),
         "dedup_exact": (
             f"SELECT min(doc_id) AS doc_id FROM documents "

@@ -90,6 +90,29 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def dedup_doc_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document exact line dedup (the C4 §2.2 'discard all but
+    one of any three-sentence span' family / Gopher repetition hygiene,
+    in its exact-line form): keep the FIRST occurrence of every exact
+    line, preserving document order.
+
+    Pure per-row JVM — split → array_distinct (first-occurrence order)
+    → rejoin; no shuffle, whole-stage codegen. The cheap first pass
+    that runs before any corpus-level dedup: boilerplate nav/footer
+    lines repeated inside a page vanish here for free.
+    Output: (id, clean_text, n_lines, n_dupe_lines)."""
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.concat_ws("\n", uniq).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(uniq)).cast("long").alias("n_dupe_lines"),
+    )
+
+
 # ------------------------------------------------------------- shingles
 
 def shingle_col(text_col: str = "text", k: int = 3) -> Column:

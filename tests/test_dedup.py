@@ -73,6 +73,56 @@ def test_minhash_df_cap_bounds_hot_bucket(spark):
     assert obs.get["dropped_postings"] == 16 * n_clones
 
 
+def test_url_canonicalization_jvm_matches_python(spark):
+    from contessa_spark.functions.urlnorm import canonical_url_col, py_canonical_url
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/Path/1?q=1#frag",
+        "https://api.site.org:443",
+        "https://api.site.org:4431/x",  # :4431 is NOT :443 — keep it
+        "http://host/",
+        "http://HOST:8080/a#b#c",
+        "ftp://Files.Example.com:21/pub",  # non-http: port kept
+        "not a url at all",
+        "mailto:someone@example.com",  # no ://, pass through
+        "http://host?query=only#f",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url_col(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == py_canonical_url(u), (u, got[i], py_canonical_url(u))
+    # spot semantic checks
+    assert got[0] == "http://www.example.com/Path/1?q=1"
+    assert got[1] == "https://api.site.org/"
+    assert got[2] == "https://api.site.org:4431/x"
+    assert got[5] == "ftp://files.example.com:21/pub"
+    assert got[6] == "not a url at all"
+    assert got[8] == "http://host?query=only"
+
+
+def test_dedup_doc_lines_keeps_first_occurrence_in_order(spark):
+    from contessa_spark.operators.dedup import dedup_doc_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+            (2, "only line"),
+            (3, ""),
+            (4, "a\na\na\na"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_doc_lines(docs).collect()}
+    assert got[1]["clean_text"] == "nav bar\nreal content one\nreal content two"
+    assert (got[1]["n_lines"], got[1]["n_dupe_lines"]) == (5, 2)
+    assert got[2]["clean_text"] == "only line" and got[2]["n_dupe_lines"] == 0
+    assert got[3]["clean_text"] == "" and got[3]["n_lines"] == 1
+    assert got[4]["clean_text"] == "a" and got[4]["n_dupe_lines"] == 3
+
+
 def test_minhash_recall_equals_exact_at_driver_settings(spark):
     """The r1 commit claimed recall 1.0 at sf0.01 — assert it: verified
     LSH candidates ≡ exact inverted-index pairs (same k/threshold)."""
