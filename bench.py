@@ -53,7 +53,11 @@ def main() -> None:
     # so timings below measure steady-state throughput, not session boot.
     # Same PipelineConfig as the timed run — codegen caches on generated
     # source, which embeds the config literals.
-    cfg = PipelineConfig(n_buckets=max(CPUS * 2, 16))
+    # input_partition bucketing: the input below is a freshly-written
+    # parquet table, so the no-shuffle shard-checkpoint mode applies
+    # (bucket = input split; measured +17 s of stage barrier + text-row
+    # serde saved at 16 cores on the 2M-doc corpus vs url-hash mode)
+    cfg = PipelineConfig(n_buckets=max(CPUS * 2, 16), bucket_by="input_partition")
     warm = tempfile.mkdtemp(prefix="bench_warm_")
     try:
         QualityFilterPipeline(spark, warm, cfg).run(

@@ -32,6 +32,11 @@ def main() -> None:
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--base", required=True, help="run directory (output/lineage/quality)")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--bucket-by", default="url",
+                    choices=["url", "input_partition"],
+                    help="checkpoint unit: url-hash bucket (layout-independent, "
+                         "costs a shuffle) or input shard (no shuffle; resume "
+                         "valid while the input listing is unchanged)")
     ap.add_argument("--mode", choices=["full", "validate"], default="full")
     ap.add_argument("--task-ts", default=None, help="ISO timestamp; default now")
     ap.add_argument("--master", default=None)
@@ -62,7 +67,8 @@ def main() -> None:
         datetime.fromisoformat(args.task_ts) if args.task_ts else datetime.now()
     )
     pipe = QualityFilterPipeline(
-        spark, args.base, PipelineConfig(n_buckets=args.buckets)
+        spark, args.base,
+        PipelineConfig(n_buckets=args.buckets, bucket_by=args.bucket_by),
     )
     summary = pipe.run(df, task_ts=task_ts, mode=args.mode)
     print(json.dumps(summary))

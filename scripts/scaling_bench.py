@@ -32,7 +32,7 @@ cores = {cores}
 spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   task_cpus={task_cpus})
 inp = spark.read.parquet({input_path!r})
-cfg = PipelineConfig(n_buckets={buckets})
+cfg = PipelineConfig(n_buckets={buckets}, bucket_by={bucket_by!r})
 
 # warmup: same plan shape, small slice — JIT + python worker pool
 w = tempfile.mkdtemp()
@@ -100,6 +100,9 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--task-cpus", type=int, default=1)
+    ap.add_argument("--bucket-by", default="input_partition",
+                    choices=["url", "input_partition"],
+                    help="checkpoint unit: url-hash bucket (shuffle) or input shard (no shuffle)")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     high = args.low * 4
@@ -118,6 +121,7 @@ def main() -> None:
                 buckets=high * 2,
                 reps=args.reps,
                 task_cpus=args.task_cpus,
+                bucket_by=args.bucket_by,
             )
         )
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]

@@ -158,6 +158,58 @@ def test_crash_between_write_and_lineage_is_idempotent(
     assert int(lineage2["input_count"].sum()) == N_DOCS
 
 
+def test_input_partition_bucketing(spark, web_df, tmp_path, golden):
+    """bucket_by='input_partition': zero-shuffle plan (no Exchange
+    before the UDF), same quality counts, resume by input shard."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.pipeline import LINEAGE_KEY, annotate, with_decisions
+    from contessa_spark.results import LocalSmallTableMerge
+
+    # stable parquet input with a known partitioning
+    src = str(tmp_path / "src")
+    web_df.repartition(6).write.parquet(src)
+    inp = spark.read.parquet(src)
+
+    cfg = PipelineConfig(bucket_by="input_partition")
+    pipe = QualityFilterPipeline(spark, str(tmp_path / "run"), cfg)
+    s = pipe.run(inp, task_ts=TASK_TS)
+    assert s["input"] == N_DOCS
+
+    out = spark.read.parquet(pipe.output_path)
+    assert out.count() == N_DOCS
+    # same keep decisions as the url-bucketed pipeline (golden refs)
+    for r in out.select("url", "keep").collect():
+        assert r["keep"] == golden[r["url"]].keep
+
+    # the write plan must contain NO shuffle (Exchange) node
+    narrow = inp.select("url", "warc_ts", "text", "lang").withColumn(
+        "bucket", F.spark_partition_id()
+    )
+    plan = (
+        with_decisions(annotate(narrow), cfg, bucket=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+    # resume: drop one shard's lineage row → only that shard re-runs
+    import shutil
+
+    lineage = LocalSmallTableMerge.read(pipe.lineage_path)
+    n_shards = lineage["bucket"].nunique()
+    crashed = sorted(lineage["bucket"].unique())[:1]
+    survivors = lineage[~lineage["bucket"].isin(crashed)]
+    shutil.rmtree(pipe.lineage_path)
+    LocalSmallTableMerge.merge(survivors, pipe.lineage_path, LINEAGE_KEY)
+    s2 = pipe.run(inp, task_ts=TASK_TS)
+    assert s2["resumed_buckets_skipped"] == n_shards - 1
+    out2 = spark.read.parquet(pipe.output_path)
+    assert out2.count() == N_DOCS
+    assert out2.select("url").distinct().count() == N_DOCS
+
+
 def test_schema_version_guard(spark, web_df, tmp_path):
     """A base_path written with a different schema_version refuses to
     run (the reference's migration-check semantic, migration.py:7-132)."""
