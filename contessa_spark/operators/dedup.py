@@ -369,6 +369,12 @@ def minhash_lsh_candidates(
     cand = (
         groups.mapInPandas(emit_pairs, schema="id_a long, id_b long").distinct()
     )
+    # the candidate set feeds TWO consumers (the id semi-join below and
+    # the verify join) — persist it or the whole band-key UDF + group +
+    # emit subtree executes twice. Candidate pairs are two longs each;
+    # the footprint is negligible next to recomputing the UDF pass.
+    # (Spark's ContextCleaner drops the block once unreferenced.)
+    cand = cand.persist()
 
     # verify: join shingle sets back, exact jaccard via array ops.
     # Shingle ONLY the docs that appear in some candidate pair (semi-
