@@ -46,15 +46,24 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     zip_path = os.path.join(_REPO, "dist", "contessa_spark.zip")
-    if not os.path.exists(zip_path):
+    pkg = os.path.join(_REPO, "contessa_spark")
+    sources = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    ]
+    # rebuild when stale, not just when missing: the checkout (and its
+    # dist/) outlives code edits, and a stale zip silently ships OLD
+    # code to the python workers
+    fresh = os.path.exists(zip_path) and os.path.getmtime(zip_path) >= max(
+        os.path.getmtime(s) for s in sources
+    )
+    if not fresh:
         os.makedirs(os.path.dirname(zip_path), exist_ok=True)
         with zipfile.ZipFile(zip_path, "w") as zf:
-            pkg = os.path.join(_REPO, "contessa_spark")
-            for root, _, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, _REPO))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zip_path)
     _shipped_sessions.add(key)
 

@@ -314,15 +314,29 @@ def hyperplane_lsh_join(
     groups = _cap_groups(groups, "_ids", max_df, observation)
 
     def emit_pairs(batches):
+        import numpy as np
+
+        triu = {}
         for pdf in batches:
-            ia, ib = [], []
+            ca, cb = [], []
             for ids in pdf["_ids"]:
-                ds = sorted(set(ids))
-                for x in range(len(ds)):
-                    for y in range(x + 1, len(ds)):
-                        ia.append(ds[x])
-                        ib.append(ds[y])
-            yield pd.DataFrame({"id_a": ia, "id_b": ib})
+                ds = np.unique(np.asarray(ids, dtype=np.int64))  # sort+dedup
+                g = len(ds)
+                if g < 2:
+                    continue
+                t = triu.get(g)
+                if t is None:
+                    t = np.triu_indices(g, 1)
+                    triu[g] = t
+                xi, yi = t
+                ca.append(ds[xi])
+                cb.append(ds[yi])
+            if ca:
+                yield pd.DataFrame(
+                    {"id_a": np.concatenate(ca), "id_b": np.concatenate(cb)}
+                )
+            else:
+                yield pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
 
     cand = groups.mapInPandas(emit_pairs, schema="id_a long, id_b long").distinct()
 

@@ -73,6 +73,42 @@ def test_minhash_df_cap_bounds_hot_bucket(spark):
     assert obs.get["dropped_postings"] == 16 * n_clones
 
 
+def test_lsh_buckets_stable_across_partitionings(spark):
+    """Hyperplane signatures and minhash band keys must not depend on
+    the physical partitioning — a repartitioned corpus yields the same
+    buckets/pairs (no RNG state, no partition-id leakage)."""
+    from contessa_spark.operators.dedup import band_keys_udf
+    from contessa_spark.operators.similarity import hyperplane_lsh_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        tuple(r)
+        for r in hyperplane_lsh_join(emb, threshold=0.4, n_bits=2, n_tables=4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in hyperplane_lsh_join(
+            emb.repartition(7), threshold=0.4, n_bits=2, n_tables=4
+        ).collect()
+    }
+    assert a == b and a
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k1 = {
+        (r["doc_id"], tuple(r["k"]))
+        for r in docs.select(
+            "doc_id", band_keys_udf(3, 32, 16)(F.col("text")).alias("k")
+        ).collect()
+    }
+    k2 = {
+        (r["doc_id"], tuple(r["k"]))
+        for r in docs.repartition(5)
+        .select("doc_id", band_keys_udf(3, 32, 16)(F.col("text")).alias("k"))
+        .collect()
+    }
+    assert k1 == k2
+
+
 def test_url_canonicalization_jvm_matches_python(spark):
     from contessa_spark.functions.urlnorm import canonical_url_col, py_canonical_url
 
