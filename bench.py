@@ -84,6 +84,12 @@ def main() -> None:
 
     # ---- operator headliners (driver-contract queries) -----------
     queries = entry_mod.queries()
+    # warm the query path too (python workers for the shingle/band UDFs,
+    # codegen for the join shapes) on the tiny sf so the timed loop
+    # below measures steady-state operator cost, matching the pipeline
+    # warmup above. sf0.001 keeps this < a second per query.
+    for name in ["dedup_minhash_lsh", "dedup_ngram_jaccard", "ann_topk_bruteforce"]:
+        queries[name](spark, "/root/testdata/sf0.001").count()
     for name in [
         "rule_counts_lineitem",
         "consistency_diff",
