@@ -210,6 +210,28 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash sampling with per-language fractions; the
+    # oracle reuses the identical md5-hex-prefix predicate
+    from contessa_spark.operators.sampling import hash_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_sample(
+        docs,
+        fraction=0.25,
+        key_cols=["doc_id"],
+        salt="r2",
+        strata_col="lang",
+        strata_fractions={"en": 0.1, "de": 0.5},
+    ).select("doc_id", "lang")
+
+
+def _token_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import token_topk_per_lang
+
+    return token_topk_per_lang(_load(spark, sf_dir, "documents"), k=10)
+
+
 def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import detect_language
 
@@ -440,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": _doc_quality_scores,
         "doc_keep_heuristic": _doc_keep_heuristic,
         "doc_fingerprints": _doc_fingerprints,
+        "doc_sample": _doc_sample,
+        "token_topk_per_lang": _token_topk_per_lang,
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
         "dedup_exact": _dedup_exact,
@@ -522,6 +546,18 @@ WITH w AS (
 """
 
 
+def _doc_sample_oracle() -> str:
+    from contessa_spark.operators.sampling import _threshold_hex
+
+    base, en, de = _threshold_hex(0.25), _threshold_hex(0.1), _threshold_hex(0.5)
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        "substring(md5(concat_ws('|', 'r2', doc_id)), 1, 6) < "
+        f"(CASE WHEN lang = 'en' THEN '{en}' WHEN lang = 'de' THEN '{de}' "
+        f"ELSE '{base}' END)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stops = _stopword_array_sql()
     textstats = _TEXTSTATS_CTE.format(stops=stops, ws=_WS)
@@ -572,6 +608,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (n_chars >= 100 AND n_chars <= 20000 AND symbol_ratio < 0.15 "
             "AND repetition < 0.9 AND stopword_frac > 0.01 "
             "AND mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS keep FROM s"
+        ),
+        "doc_sample": _doc_sample_oracle(),
+        "token_topk_per_lang": (
+            f"WITH t AS (SELECT lang, lower(x) AS token, count(*)::BIGINT AS n "
+            f" FROM (SELECT lang, unnest(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '')) AS x "
+            f"  FROM documents) GROUP BY lang, lower(x)) "
+            f"SELECT lang, token, n, rank FROM ("
+            f" SELECT lang, token, n, row_number() OVER (PARTITION BY lang "
+            f"  ORDER BY n DESC, token ASC)::INT AS rank FROM t) WHERE rank <= 10"
         ),
         "doc_fingerprints": (
             f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "

@@ -77,6 +77,41 @@ def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return out.select(*cols)
 
 
+def token_topk_per_lang(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus-level token statistics: the k most frequent lowercased
+    whitespace tokens per language — the vocabulary summary every
+    training-data pipeline wants as a sanity dashboard.
+
+    Plan shape at 100 TB: explode → ONE shuffle on (lang, token) with
+    map-side partial counts (hot tokens like 'the' pre-aggregate per
+    partition, so skew never concentrates raw rows), then the window
+    ranks the already-aggregated ~|vocab|×|langs| table — tiny next to
+    the corpus. Ties break on the token for determinism.
+    """
+    from pyspark.sql import Window
+
+    from contessa_spark.functions.textstats import spark_words_col
+
+    counts = (
+        df.select(F.col(lang_col).alias("lang"), spark_words_col(text_col).alias("_w"))
+        .select("lang", F.explode("_w").alias("token"))
+        .select("lang", F.lower("token").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("lang", "token", "n", "rank")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint md5-of-normalized-text, head_hash rolling-ish
     prefix hash) — cheap doc identity keys for incremental dedup."""
