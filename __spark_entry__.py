@@ -210,6 +210,18 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import dup_ngram_char_frac
+
+    return dup_ngram_char_frac(_load(spark, sf_dir, "documents"), n=2)
+
+
+def _doc_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import line_stats
+
+    return line_stats(_load(spark, sf_dir, "documents"))
+
+
 def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic hash sampling with per-language fractions; the
     # oracle reuses the identical md5-hex-prefix predicate
@@ -463,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keep_heuristic": _doc_keep_heuristic,
         "doc_fingerprints": _doc_fingerprints,
         "doc_sample": _doc_sample,
+        "doc_line_stats": _doc_line_stats,
+        "doc_dup_ngrams": _doc_dup_ngrams,
         "token_topk_per_lang": _token_topk_per_lang,
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
@@ -610,6 +624,30 @@ def oracle_sql() -> dict[str, str]:
             "AND mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS keep FROM s"
         ),
         "doc_sample": _doc_sample_oracle(),
+        "doc_dup_ngrams": (
+            # gram char weight = gram string minus its separator spaces;
+            # words are split on the unicode-ws class so they contain no
+            # ASCII space themselves
+            f"WITH w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+            f"g AS (SELECT doc_id, [array_to_string(ws[i:i+1], ' ') "
+            f" for i in range(1, greatest(len(ws) - 1, 0) + 1)] AS grams FROM w), "
+            f"e AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            f"c AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt, "
+            f" length(replace(gram, ' ', ''))::BIGINT AS wt FROM e GROUP BY doc_id, gram), "
+            f"a AS (SELECT doc_id, sum(cnt * wt) AS den, "
+            f" sum(CASE WHEN cnt > 1 THEN cnt * wt ELSE 0 END) AS num FROM c GROUP BY doc_id) "
+            f"SELECT d.doc_id, round(coalesce(a.num / nullif(a.den, 0), 0.0), 6) AS dup_ngram_frac "
+            f"FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        ),
+        "doc_line_stats": (
+            "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents) "
+            "SELECT doc_id, len(l)::BIGINT AS n_lines, "
+            "round(len(list_filter(l, x -> starts_with(x, '- ') OR starts_with(x, '* ') "
+            " OR starts_with(x, '• '))) / len(l), 6) AS bullet_frac, "
+            "round(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…'))) "
+            " / len(l), 6) AS ellipsis_frac FROM t"
+        ),
         "token_topk_per_lang": (
             f"WITH t AS (SELECT lang, lower(x) AS token, count(*)::BIGINT AS n "
             f" FROM (SELECT lang, unnest(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '')) AS x "

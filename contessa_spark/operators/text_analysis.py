@@ -112,6 +112,81 @@ def token_topk_per_lang(
     )
 
 
+def line_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher §A1.1 line-shape signals: fraction of lines that start
+    with a bullet glyph and that end with an ellipsis — boilerplate
+    nav/teaser detectors. Pure per-row JVM (split + filter + size), no
+    UDF, no shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    n = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("• "),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_lines"),
+        F.round(bullets / n.cast("double"), 6).alias("bullet_frac"),
+        F.round(ellipsis / n.cast("double"), 6).alias("ellipsis_frac"),
+    )
+
+
+def py_dup_ngram_char_frac(text: str, n: int = 2) -> float:
+    """Pure core (Gopher §A1.1 'duplicate n-gram character fraction'):
+    of all characters covered by word n-gram occurrences, the fraction
+    belonging to n-grams that occur more than once. A gram's character
+    weight is the sum of its word lengths (separators excluded)."""
+    words = text.split()
+    if len(words) < n:
+        return 0.0
+    counts: dict = {}
+    weights: dict = {}
+    for i in range(len(words) - n + 1):
+        g = " ".join(words[i : i + n])
+        counts[g] = counts.get(g, 0) + 1
+        if g not in weights:
+            weights[g] = sum(len(w) for w in words[i : i + n])
+    den = sum(counts[g] * weights[g] for g in counts)
+    if den == 0:
+        return 0.0
+    num = sum(counts[g] * weights[g] for g in counts if counts[g] > 1)
+    return num / den
+
+
+def dup_ngram_char_frac(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dup_ngram_frac) over the shared pure core — a vectorized
+    pandas UDF (per-word dict counting is the measured fast path; the
+    equivalent explode+groupBy would shuffle every gram of the corpus
+    for a PER-DOC statistic)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _frac(texts):
+        return pd.Series(
+            [
+                py_dup_ngram_char_frac(t if isinstance(t, str) else "", n)
+                for t in texts
+            ]
+        )
+
+    _frac.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_frac, T.DoubleType())
+    return df.select(
+        F.col(id_col), F.round(udf(F.col(text_col)), 6).alias("dup_ngram_frac")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint md5-of-normalized-text, head_hash rolling-ish
     prefix hash) — cheap doc identity keys for incremental dedup."""
