@@ -8,13 +8,13 @@ All deterministic (hash-based, no RNG), all shuffle-conscious:
 * n-gram Jaccard: exact pairwise similarity via a shingle inverted
   index (explode → self-join on shingle → group by pair) — never a
   cross join;
-* MinHash+LSH: signatures and banding entirely in JVM expressions
-  (xxhash64 + array ops), candidate pairs from band-bucket self-join,
-  then exact-Jaccard verification — the scale path (Broder 1997;
-  Leskovec/Rajaraman/Ullman ch.3);
+* MinHash+LSH: ONE fused pandas-UDF pass computes band keys + the
+  shingle hash set, candidate pairs come from capped band-bucket
+  groups, exact-Jaccard verification joins the persisted hash sets —
+  the scale path (Broder 1997; Leskovec/Rajaraman/Ullman ch.3);
 * SimHash (Charikar 2002; Manku et al. WWW'07): 64-bit signature via a
-  vectorized pandas UDF, near-dup = Hamming distance ≤ k on rotated
-  band keys;
+  vectorized pandas UDF, near-dup = Hamming distance ≤ k emitted from
+  capped rotated-band-key groups;
 * embedding cosine: LSH-bucketed or brute pair join over `array<float>`.
 """
 
@@ -352,6 +352,77 @@ def band_keys_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
     return F.pandas_udf(_keys, T.ArrayType(T.LongType()))
 
 
+def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
+    """pandas UDF: text → struct(keys: array<long> LSH band keys,
+    hs: array<long> distinct shingle hashes).
+
+    ONE fused pass computes both what the candidate stage needs (band
+    keys — same derivation as ``band_keys_udf``) and what the verify
+    stage needs (the distinct FNV-64 shingle hash set): text crosses
+    the JVM↔Python boundary once and shingling/hashing runs once,
+    instead of a second shingle UDF over candidate docs. Exact Jaccard
+    over the hash sets equals Jaccard over the string shingle sets
+    unless two distinct shingles FNV-collide (~2⁻⁶⁴ per pair of
+    distinct shingles — negligible even at 10¹² docs per doc pair,
+    since only within-pair collisions matter).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    r = n_hashes // bands
+    A, B = _affine_params(n_hashes)
+
+    _memo: dict = {}
+
+    def _fnv64(s: str) -> int:
+        h = _memo.get(s)
+        if h is not None:
+            return h
+        h = 0xCBF29CE484222325
+        for byte in s.encode("utf-8", "ignore"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        if len(_memo) < 4_000_000:
+            _memo[s] = h
+        return h
+
+    def _sig(texts):
+        keys_out, hs_out = [], []
+        for t in texts:
+            sh = py_shingles(t if isinstance(t, str) else "", k)
+            if not sh:
+                keys_out.append([])
+                hs_out.append([])
+                continue
+            raw = np.fromiter(
+                (_fnv64(s) for s in sh), dtype=np.uint64, count=len(sh)
+            )
+            base = raw % _MERSENNE
+            sig = ((A[:, None] * base[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
+            keys = []
+            for i in range(bands):
+                acc = np.uint64(1469598103934665603)
+                for v in sig[i * r : (i + 1) * r]:
+                    acc = np.uint64(
+                        (int(acc) ^ int(v)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
+                    )
+                keys.append(int((int(acc) ^ i) - (1 << 63)))
+            keys_out.append(keys)
+            hs_out.append(np.unique(raw).view(np.int64).tolist())
+        return pd.DataFrame({"keys": keys_out, "hs": hs_out})
+
+    _sig.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        _sig,
+        T.StructType(
+            [
+                T.StructField("keys", T.ArrayType(T.LongType())),
+                T.StructField("hs", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -362,30 +433,55 @@ def minhash_lsh_candidates(
     threshold: float = 0.8,
     max_df: Optional[int] = None,
     observation=None,
+    verify_semi_join: bool = False,
 ) -> DataFrame:
-    """MinHash → band → bucket-join → exact-Jaccard verify.
+    """MinHash → band → bucket-group → exact-Jaccard verify.
 
     Collision probability for a pair with Jaccard s is
     1 − (1 − s^r)^b with r = n_hashes/bands rows per band; at
     (64, 16) the S-curve crosses ~0.77 — tuned for threshold 0.8.
-    The band-bucket self-join shuffles (band_idx, band_key) — tiny
-    rows — and only candidate pairs are verified against true shingle
-    sets. This is the plan that survives 10^12 docs; the exact
-    ``ngram_jaccard_pairs`` inverted index is the small-scale oracle.
+
+    Plan (one UDF pass, three shuffles):
+    1. ``lsh_signature_udf`` computes band keys AND the distinct
+       shingle-hash set per doc in one fused pass; the narrow
+       (id, keys, hs) projection is persisted — it feeds both the
+       candidate and verify stages.
+    2. Candidates: explode band keys → group by key → capped
+       vectorized pair emission (never a self-join).
+    3. Verify: join the candidate pairs back to the persisted hash
+       sets (AQE broadcasts the small pair side) and compute exact
+       |A∩B|/|A∪B| with a vectorized sorted-array intersection —
+       no re-shingling, no posting-list shuffle of candidate docs.
 
     ``max_df`` (recommended at scale) drops band buckets larger than
     that before candidate emission — see ``_cap_groups``. A bucket that
     hot is an exact-dup cluster (run ``exact_dedup`` first) or a
-    degenerate band; dropping costs recall only on such clusters.
-    """
-    keys = df.select(
-        F.col(id_col).alias("_id"),
-        band_keys_udf(k, n_hashes, bands)(F.col(text_col)).alias("_keys"),
-    )
-    band_entries = keys.select("_id", F.explode("_keys").alias("key"))
+    degenerate band; dropping costs recall only on such clusters. The
+    verify stage is exact and uncapped by design (the r2 form forwarded
+    ``max_df`` into verification, silently undercounting overlap inside
+    large true near-dup clusters).
 
-    # candidates from per-band-key groups: one pass, no self-join
+    ``verify_semi_join=True`` pre-filters the signature table to docs
+    that appear in some candidate pair before the verify join — set it
+    when candidates ≪ corpus (the 10¹²-doc regime) so the verify join
+    shuffles only candidate signatures; leave False when candidate
+    coverage is near the corpus (small corpora), where the semi-join
+    is pure overhead.
+    """
     import pandas as pd
+
+    sig = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            lsh_signature_udf(k, n_hashes, bands)(F.col(text_col)).alias("_s"),
+        )
+        # struct first, fields second: two getField projections on the
+        # UDF call itself would each embed a full UDF eval (the
+        # double-eval trap tests/test_plans.py guards elsewhere)
+        .select("_id", F.col("_s.keys").alias("_keys"), F.col("_s.hs").alias("_hs"))
+        .persist()
+    )
+    band_entries = sig.select("_id", F.explode("_keys").alias("key"))
 
     groups = (
         band_entries.groupBy("key")
@@ -423,38 +519,51 @@ def minhash_lsh_candidates(
     cand = (
         groups.mapInPandas(emit_pairs, schema="id_a long, id_b long").distinct()
     )
-    # the candidate set feeds TWO consumers (the id semi-join below and
-    # the verify join) — persist it or the whole band-key UDF + group +
-    # emit subtree executes twice. Candidate pairs are two longs each;
-    # the footprint is negligible next to recomputing the UDF pass.
-    # (Spark's ContextCleaner drops the block once unreferenced.)
-    cand = cand.persist()
 
-    # verify: exact jaccard over the CANDIDATE DOCS ONLY. Two scale
-    # tricks compose here:
-    # 1. semi-join the corpus down to docs that appear in some
-    #    candidate pair BEFORE any shingle UDF runs (candidates ≪
-    #    corpus at web scale);
-    # 2. compute the exact jaccard with the inverted-index group count
-    #    (same machinery as ngram_jaccard_pairs) instead of joining
-    #    full shingle ARRAYS and running array_intersect per pair —
-    #    per-pair array ops on ~10³-element arrays were the measured
-    #    bottleneck of the old verify. A final (id_a, id_b) semi-join
-    #    against the candidate set keeps exactly the LSH candidates.
-    # Semantics are identical: |A∩B| / |A∪B| over full shingle sets.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    cand_docs = df.join(
-        cand_ids.select(F.col("_id").alias(id_col)), id_col, "left_semi"
-    )
-    counted = ngram_jaccard_pairs(
-        cand_docs, id_col=id_col, text_col=text_col, k=k,
-        threshold=threshold, max_df=max_df,
-    )
-    return counted.join(cand, ["id_a", "id_b"], "left_semi")
+    sig_v = sig
+    if verify_semi_join:
+        # cand feeds the id-set AND the verify join below — persist so
+        # the band-group subtree doesn't execute twice
+        cand = cand.persist()
+        cand_ids = (
+            cand.select(F.col("id_a").alias("_id"))
+            .unionByName(cand.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        sig_v = sig.join(cand_ids, "_id", "left_semi")
+
+    a = sig_v.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
+    b = sig_v.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+
+    def _verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids_a, ids_b, js = [], [], []
+            for ia, ib, ha, hb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ha"], pdf["_hb"]
+            ):
+                ha = np.asarray(ha, dtype=np.int64)
+                hb = np.asarray(hb, dtype=np.int64)
+                common = np.intersect1d(ha, hb, assume_unique=True).size
+                union = ha.size + hb.size - common
+                # same filter-then-round order as ngram_jaccard_pairs:
+                # threshold on the raw IEEE ratio, round at the end
+                if union and common / union >= threshold:
+                    ids_a.append(ia)
+                    ids_b.append(ib)
+                    js.append(common / union)
+            yield pd.DataFrame(
+                {
+                    "id_a": np.asarray(ids_a, dtype=np.int64),
+                    "id_b": np.asarray(ids_b, dtype=np.int64),
+                    "jaccard": np.asarray(js, dtype=np.float64),
+                }
+            )
+
+    out = joined.mapInPandas(_verify, schema="id_a long, id_b long, jaccard double")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # -------------------------------------------------------------- SimHash
@@ -513,14 +622,25 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_df: Optional[int] = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
     Block by rotating 16-bit band keys (4 bands: any pair within
-    Hamming ≤ 3 shares at least one exact band — pigeonhole), then
-    verify distance with bit_count(xor). Self-join is on band keys,
-    never a cross join.
+    Hamming ≤ 3 shares at least one exact band — pigeonhole; at larger
+    ``max_hamming`` banding is lossy, documented at the call sites).
+    Pairs are emitted per (band, key) GROUP — the same single-pass
+    group-emission + ``_cap_groups(max_df)`` pattern as its three
+    siblings (ngram/minhash/embedding-LSH), never a row-level
+    self-join: a 16-bit key space means a 10¹²-doc corpus averages
+    ~10⁷ docs per bucket, and an uncapped bucket join would emit
+    ~10¹⁴ pairs per bucket before any Hamming filter. The Hamming
+    verify runs vectorized (numpy xor + byte-popcount) INSIDE the
+    emission, so only passing pairs ever materialize.
     """
+    import pandas as pd
+
     sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sim"))
     bands = 4
     width = 16
@@ -541,16 +661,61 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("_id", "_sim", "bk.band", "bk.key")
-    left = entries.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"), "band", "key")
-    right = entries.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"), "band", "key")
+    groups = (
+        entries.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("_id", "_sim")).alias("_docs"))
+        .where(F.size("_docs") > 1)
+        .select("_docs")
+    )
+    groups = _cap_groups(groups, "_docs", max_df, observation)
+
+    def emit_pairs(batches):
+        import numpy as np
+
+        pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        triu = {}
+        for pdf in batches:
+            ca, cb, ch = [], [], []
+            for docs in pdf["_docs"]:
+                g = len(docs)
+                if g < 2:
+                    continue
+                ids = np.fromiter((d["_id"] for d in docs), dtype=np.int64, count=g)
+                sims = np.fromiter((d["_sim"] for d in docs), dtype=np.int64, count=g)
+                order = np.argsort(ids, kind="stable")
+                ids, sims = ids[order], sims[order]
+                t = triu.get(g)
+                if t is None:
+                    t = np.triu_indices(g, 1)
+                    triu[g] = t
+                xi, yi = t
+                x = np.bitwise_xor(sims[xi].view(np.uint64), sims[yi].view(np.uint64))
+                hd = pop8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int32)
+                m = hd <= max_hamming
+                if m.any():
+                    ca.append(ids[xi][m])
+                    cb.append(ids[yi][m])
+                    ch.append(hd[m])
+            if ca:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(ca),
+                        "id_b": np.concatenate(cb),
+                        "hamming": np.concatenate(ch).astype("int32"),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.array([], dtype=np.int64),
+                        "id_b": np.array([], dtype=np.int64),
+                        "hamming": np.array([], dtype=np.int32),
+                    }
+                )
+
     return (
-        left.join(right, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
+        groups.mapInPandas(emit_pairs, schema="id_a long, id_b long, hamming int")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -73,6 +73,31 @@ def test_minhash_df_cap_bounds_hot_bucket(spark):
     assert obs.get["dropped_postings"] == 16 * n_clones
 
 
+def test_simhash_df_cap_bounds_hot_bucket(spark):
+    """The (band, key) group cap: 300 identical docs share every band
+    key — all four of their band groups are dropped at max_df=50 (an
+    exact-dup cluster is ``exact_dedup``'s job), while a small 10-clone
+    cluster under the cap still emits its 45 hamming-0 pairs."""
+    n_hot, n_small = 300, 10
+    rows = [(i, "clone body text repeated for every row of this cluster")
+            for i in range(n_hot)]
+    rows += [(1_000_000 + i, "alpha beta gamma delta epsilon zeta eta theta")
+             for i in range(n_small)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("simhash_cap")
+    pairs = simhash_near_dups(
+        docs, max_hamming=3, max_df=50, observation=obs
+    ).collect()
+    expect = {
+        (1_000_000 + i, 1_000_000 + j, 0)
+        for i in range(n_small)
+        for j in range(i + 1, n_small)
+    }
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == expect
+    assert obs.get["dropped_groups"] == 4
+    assert obs.get["dropped_postings"] == 4 * n_hot
+
+
 def test_lsh_buckets_stable_across_partitionings(spark):
     """Hyperplane signatures and minhash band keys must not depend on
     the physical partitioning — a repartitioned corpus yields the same
