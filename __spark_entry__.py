@@ -216,6 +216,26 @@ def _doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_char_frac(_load(spark, sf_dir, "documents"), n=2)
 
 
+def _doc_dup_ngrams5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher §A1.1 uses the dup-n-gram signal at n=5..10; n=5 exercises
+    # the generalized core against the parameterized oracle
+    from contessa_spark.operators.text_analysis import dup_ngram_char_frac
+
+    return dup_ngram_char_frac(_load(spark, sf_dir, "documents"), n=5)
+
+
+def _doc_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import dup_line_fracs
+
+    return dup_line_fracs(_load(spark, sf_dir, "documents"))
+
+
+def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import top_ngram_char_frac
+
+    return top_ngram_char_frac(_load(spark, sf_dir, "documents"), ns=(2, 3, 4))
+
+
 def _doc_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import line_stats
 
@@ -477,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _doc_sample,
         "doc_line_stats": _doc_line_stats,
         "doc_dup_ngrams": _doc_dup_ngrams,
+        "doc_dup_ngrams5": _doc_dup_ngrams5,
+        "doc_dup_lines": _doc_dup_lines,
+        "doc_top_ngrams": _doc_top_ngrams,
         "token_topk_per_lang": _token_topk_per_lang,
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
@@ -560,6 +583,59 @@ WITH w AS (
 """
 
 
+def _dup_ngram_oracle(n: int) -> str:
+    # gram char weight = gram string minus its separator spaces; words
+    # are split on the unicode-ws class so they contain no ASCII space
+    m = n - 1
+    return (
+        f"WITH w AS (SELECT doc_id, "
+        f" list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+        f"g AS (SELECT doc_id, [array_to_string(ws[i:i+{m}], ' ') "
+        f" for i in range(1, greatest(len(ws) - {m}, 0) + 1)] AS grams FROM w), "
+        f"e AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+        f"c AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt, "
+        f" length(replace(gram, ' ', ''))::BIGINT AS wt FROM e GROUP BY doc_id, gram), "
+        f"a AS (SELECT doc_id, sum(cnt * wt) AS den, "
+        f" sum(CASE WHEN cnt > 1 THEN cnt * wt ELSE 0 END) AS num FROM c GROUP BY doc_id) "
+        f"SELECT d.doc_id, round(coalesce(a.num / nullif(a.den, 0), 0.0), 6) AS dup_ngram_frac "
+        f"FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+    )
+
+
+def _top_ngram_oracle(ns=(2, 3, 4)) -> str:
+    # per n: gram counts → row_number tie-break (cnt DESC, gram ASC) →
+    # num = cnt × len(gram incl. spaces); frac = num / raw doc chars
+    ctes = [
+        "WITH w AS (SELECT doc_id, length(text)::BIGINT AS nc, "
+        f"list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws "
+        "FROM documents)"
+    ]
+    selects, joins = [], []
+    for n in ns:
+        m = n - 1
+        ctes.append(
+            f"e{n} AS (SELECT doc_id, unnest([array_to_string(ws[i:i+{m}], ' ') "
+            f" for i in range(1, greatest(len(ws) - {m}, 0) + 1)]) AS gram FROM w), "
+            f"c{n} AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM e{n} "
+            f" GROUP BY doc_id, gram), "
+            f"t{n} AS (SELECT doc_id, cnt * length(gram) AS num FROM ("
+            f" SELECT doc_id, gram, cnt, row_number() OVER (PARTITION BY doc_id "
+            f"  ORDER BY cnt DESC, gram ASC) AS rn FROM c{n}) WHERE rn = 1)"
+        )
+        selects.append(
+            f"round(coalesce(t{n}.num / nullif(w.nc, 0), 0.0), 6) "
+            f"AS top_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN t{n} ON w.doc_id = t{n}.doc_id")
+    return (
+        ", ".join(ctes)
+        + " SELECT w.doc_id, "
+        + ", ".join(selects)
+        + " FROM w "
+        + " ".join(joins)
+    )
+
+
 def _doc_sample_oracle() -> str:
     from contessa_spark.operators.sampling import _threshold_hex
 
@@ -624,21 +700,24 @@ def oracle_sql() -> dict[str, str]:
             "AND mean_word_len >= 2.5 AND mean_word_len <= 10.0) AS keep FROM s"
         ),
         "doc_sample": _doc_sample_oracle(),
-        "doc_dup_ngrams": (
-            # gram char weight = gram string minus its separator spaces;
-            # words are split on the unicode-ws class so they contain no
-            # ASCII space themselves
-            f"WITH w AS (SELECT doc_id, "
-            f" list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
-            f"g AS (SELECT doc_id, [array_to_string(ws[i:i+1], ' ') "
-            f" for i in range(1, greatest(len(ws) - 1, 0) + 1)] AS grams FROM w), "
-            f"e AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
-            f"c AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt, "
-            f" length(replace(gram, ' ', ''))::BIGINT AS wt FROM e GROUP BY doc_id, gram), "
-            f"a AS (SELECT doc_id, sum(cnt * wt) AS den, "
-            f" sum(CASE WHEN cnt > 1 THEN cnt * wt ELSE 0 END) AS num FROM c GROUP BY doc_id) "
-            f"SELECT d.doc_id, round(coalesce(a.num / nullif(a.den, 0), 0.0), 6) AS dup_ngram_frac "
-            f"FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"
+        "doc_dup_ngrams": _dup_ngram_oracle(2),
+        "doc_dup_ngrams5": _dup_ngram_oracle(5),
+        "doc_top_ngrams": _top_ngram_oracle((2, 3, 4)),
+        "doc_dup_lines": (
+            "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l, "
+            " string_split(text, chr(10) || chr(10)) AS p FROM documents) "
+            "SELECT doc_id, "
+            "round((len(l) - len(list_distinct(l))) / len(l), 6) AS dup_line_frac, "
+            "CASE WHEN list_sum(list_transform(l, x -> length(x))) = 0 THEN 0.0 "
+            " ELSE round((list_sum(list_transform(l, x -> length(x))) "
+            "  - list_sum(list_transform(list_distinct(l), x -> length(x)))) "
+            "  / list_sum(list_transform(l, x -> length(x))), 6) END AS dup_line_char_frac, "
+            "round((len(p) - len(list_distinct(p))) / len(p), 6) AS dup_para_frac, "
+            "CASE WHEN list_sum(list_transform(p, x -> length(x))) = 0 THEN 0.0 "
+            " ELSE round((list_sum(list_transform(p, x -> length(x))) "
+            "  - list_sum(list_transform(list_distinct(p), x -> length(x)))) "
+            "  / list_sum(list_transform(p, x -> length(x))), 6) END AS dup_para_char_frac "
+            "FROM t"
         ),
         "doc_line_stats": (
             "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents) "

@@ -140,6 +140,104 @@ def line_stats(
     )
 
 
+def dup_line_fracs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher §A1.1 duplicate line / paragraph fractions: of a doc's
+    lines (split on \\n) and paragraphs (split on \\n\\n), the fraction
+    of entries that are repeats of an earlier entry, and the fraction
+    of their characters belonging to those repeat occurrences —
+    (total − distinct) over total, in both counts and chars. Pure
+    per-row JVM (split/array_distinct/aggregate), no shuffle."""
+
+    def _fracs(parts, prefix):
+        n = F.size(parts)
+        nd = F.size(F.array_distinct(parts))
+        tot = F.aggregate(
+            parts, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dtot = F.aggregate(
+            F.array_distinct(parts), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        return [
+            F.round((n - nd) / n.cast("double"), 6).alias(f"dup_{prefix}_frac"),
+            F.when(tot == 0, F.lit(0.0))
+            .otherwise(F.round((tot - dtot) / tot.cast("double"), 6))
+            .alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    lines = F.split(F.col(text_col), "\n")
+    paras = F.split(F.col(text_col), "\n\n")
+    return df.select(
+        F.col(id_col), *_fracs(lines, "line"), *_fracs(paras, "para")
+    )
+
+
+def py_top_ngram_char_frac(text: str, n: int) -> float:
+    """Pure core (Gopher §A1.1 'fraction of characters contained within
+    the most frequently-occurring n-gram', the DataTrove/NeMo-Curator
+    convention): count(top gram) × len(top gram string, spaces
+    included) / len(raw text). Ties break on the lexicographically
+    smallest gram (deterministic, unlike Counter insertion order).
+    Uncapped by convention (overlapping occurrences can exceed 1 on
+    degenerate docs)."""
+    if not text:
+        return 0.0
+    words = text.split()
+    if len(words) < n:
+        return 0.0
+    counts: dict = {}
+    for i in range(len(words) - n + 1):
+        g = " ".join(words[i : i + n])
+        counts[g] = counts.get(g, 0) + 1
+    best_cnt = max(counts.values())
+    best = min(g for g in counts if counts[g] == best_cnt)
+    return best_cnt * len(best) / len(text)
+
+
+def top_ngram_char_frac(
+    df: DataFrame,
+    ns: tuple = (2, 3, 4),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, top_{n}gram_char_frac …) for each n — ONE vectorized pandas
+    UDF computes every n in a single pass over the words (per-doc
+    statistic: dict counting in the UDF, no corpus shuffle — the same
+    measured call as ``dup_ngram_char_frac``)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _fracs(texts):
+        cols = {f"top_{n}gram_char_frac": [] for n in ns}
+        for t in texts:
+            t = t if isinstance(t, str) else ""
+            for n in ns:
+                cols[f"top_{n}gram_char_frac"].append(py_top_ngram_char_frac(t, n))
+        return pd.DataFrame(cols)
+
+    _fracs.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(
+        _fracs,
+        T.StructType(
+            [
+                T.StructField(f"top_{n}gram_char_frac", T.DoubleType())
+                for n in ns
+            ]
+        ),
+    )
+    # struct first, fields second — evaluates the UDF exactly once
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("_t")).select(
+        F.col(id_col),
+        *[
+            F.round(F.col(f"_t.top_{n}gram_char_frac"), 6).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in ns
+        ],
+    )
+
+
 def py_dup_ngram_char_frac(text: str, n: int = 2) -> float:
     """Pure core (Gopher §A1.1 'duplicate n-gram character fraction'):
     of all characters covered by word n-gram occurrences, the fraction

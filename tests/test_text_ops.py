@@ -60,3 +60,59 @@ def test_token_topk_per_lang_semantics(spark):
     # 'dog' and 'the' both have 3; tie breaks alphabetically: dog first
     assert rows[("en", 1)] == ("dog", 3) and rows[("en", 2)] == ("the", 3)
     assert rows[("fr", 1)] == ("le", 2)
+
+
+def test_dup_line_fracs_semantics(spark):
+    from contessa_spark.operators.text_analysis import dup_line_fracs
+
+    docs = spark.createDataFrame(
+        [
+            # lines: nav(3), contentA, contentB → 5 lines, 2 dups;
+            # chars: nav=3×3=9, A=8, B=8 → tot 25, distinct 19 → dup 6/25
+            (1, "nav\ncontentA\nnav\ncontentB\nnav"),
+            # paragraphs: "p one" ×2 + "p two" → 3 paras 1 dup (5 chars);
+            # lines: "p one","","p two","","p one" → 5 lines, 2 dups
+            # ("p one" and the empty separator line), dup chars 5/15
+            (2, "p one\n\np two\n\np one"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_line_fracs(docs).collect()}
+    assert got[1]["dup_line_frac"] == round(2 / 5, 6)
+    assert got[1]["dup_line_char_frac"] == round(6 / 25, 6)
+    assert got[1]["dup_para_frac"] == 0.0  # one paragraph (no \n\n)
+    assert got[2]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[2]["dup_para_char_frac"] == round(5 / 15, 6)
+    assert got[2]["dup_line_frac"] == round(2 / 5, 6)
+    assert got[2]["dup_line_char_frac"] == round(5 / 15, 6)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_char_frac"] == 0.0
+    assert got[3]["dup_para_char_frac"] == 0.0
+
+
+def test_top_ngram_char_frac_semantics(spark):
+    from contessa_spark.operators.text_analysis import (
+        py_top_ngram_char_frac,
+        top_ngram_char_frac,
+    )
+
+    # "a b a b a" (9 chars): top 2-gram "a b" count 2, len 3 → 6/9
+    assert py_top_ngram_char_frac("a b a b a", 2) == 6 / 9
+    # top 3-gram "a b a" count 2 (overlapping), len 5 → 10/9 (uncapped)
+    assert py_top_ngram_char_frac("a b a b a", 3) == 10 / 9
+    assert py_top_ngram_char_frac("", 2) == 0.0
+    assert py_top_ngram_char_frac("one", 2) == 0.0
+    # tie at count 1 → lexicographically smallest gram: "one two" (7)
+    # over 17 chars
+    assert py_top_ngram_char_frac("one two three", 2) == 7 / 13
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, ""), (3, "one two three")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in top_ngram_char_frac(docs, ns=(2, 3)).collect()}
+    assert got[1]["top_2gram_char_frac"] == round(6 / 9, 6)
+    assert got[1]["top_3gram_char_frac"] == round(10 / 9, 6)
+    assert got[2]["top_2gram_char_frac"] == 0.0
+    assert got[3]["top_2gram_char_frac"] == round(7 / 13, 6)
