@@ -37,6 +37,61 @@ MEDIA_SCHEMA = T.StructType(
 
 _MAGIC = b"FAKEIMG1"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+#: decompression-bomb guard: a 100-byte PNG can declare gigapixel IHDR
+#: dims whose inflation would OOM a worker; pixel stats are skipped
+#: (dims still reported) when the raw scanline buffer would exceed this
+MAX_PNG_RAW_BYTES = 64 * 1024 * 1024
+
+# SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) — every frame-header marker
+# that carries (precision, height, width) per ITU-T T.81 §B.2.2
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """JPEG dims via the public-spec marker walk (ITU-T T.81): segments
+    are FF <marker> <len16 incl. itself>; the SOFn frame header holds
+    precision(1) height(2) width(2) big-endian. No entropy decode —
+    ``mean_byte`` stays None (the Pillow swap-in point), dims are real.
+    """
+    import struct
+
+    i = 2  # past FFD8
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            break  # desynchronized stream
+        # fill bytes: FF may repeat before the marker code
+        while i < n and payload[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = payload[i]
+        i += 1
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue  # standalone: TEM / RSTn / (repeated) SOI
+        if marker == 0xD9:  # EOI
+            break
+        if i + 2 > n:
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 7 > n:
+                break
+            height, width = struct.unpack_from(">HH", payload, i + 3)
+            return {
+                "width": int(width),
+                "height": int(height),
+                "mean_byte": None,
+                "ok": True,
+            }
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            break
+        i += seg_len
+    return {"width": None, "height": None, "mean_byte": None, "ok": False}
 
 
 def _decode_png(payload: bytes) -> dict:
@@ -74,8 +129,20 @@ def _decode_png(payload: bytes) -> dict:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if bit_depth != 8 or channels is None or interlace != 0 or not idat:
         return {"width": int(width), "height": int(height), "mean_byte": None, "ok": True}
-    raw = zlib.decompress(b"".join(idat))
     stride = width * channels
+    expected = (stride + 1) * height
+    if expected > MAX_PNG_RAW_BYTES:
+        # bomb guard: dims are trustworthy (IHDR), pixel stats are not
+        # worth inflating 64 MB+ for — skip, don't OOM the worker
+        return {"width": int(width), "height": int(height), "mean_byte": None, "ok": True}
+    # bounded inflate: never produce more than the scanlines imply, even
+    # if the stream would (max_length caps the bomb the IHDR undersold)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if len(raw) < expected:
+        raise ValueError(
+            f"truncated PNG pixel data: {len(raw)} < {expected} bytes"
+        )
     total = 0
     prev = bytearray(stride)
     p = 0
@@ -132,10 +199,13 @@ def decode_image_bytes(payload: bytes) -> dict:
         return {"width": None, "height": None, "mean_byte": None, "ok": False}
     if payload.startswith(_PNG_MAGIC):
         return _decode_png(payload)
+    if payload.startswith(_JPEG_MAGIC):
+        return _decode_jpeg(payload)
     if not payload.startswith(_MAGIC):
         raise NotImplementedError(
-            "only PNG and the deterministic FAKEIMG1 container are "
-            "decodable in this environment (no image libraries baked in)"
+            "only PNG, JPEG (dims) and the deterministic FAKEIMG1 "
+            "container are decodable in this environment (no image "
+            "libraries baked in)"
         )
     w, h, m = struct.unpack_from("<IIB", payload, len(_MAGIC))
     return {"width": w, "height": h, "mean_byte": m, "ok": True}
@@ -159,7 +229,20 @@ def decode_images(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_image_bytes(bytes(payload) if payload is not None else None)
+                # per-record containment: one truncated/corrupt blob in
+                # a 10^12-doc crawl must yield an ok=False ROW, not fail
+                # the job after task retries. NotImplementedError stays
+                # fatal on purpose — an unrouted format is a pipeline
+                # configuration error (gate on mime upstream), not data
+                # corruption.
+                try:
+                    d = decode_image_bytes(
+                        bytes(payload) if payload is not None else None
+                    )
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    d = {"width": None, "height": None, "mean_byte": None, "ok": False}
                 rows.append(
                     {
                         "media_id": mid,

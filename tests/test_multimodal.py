@@ -111,3 +111,91 @@ def test_decode_images_spark_path_with_png(spark):
         assert out[i]["ok"]
         assert (out[i]["width"], out[i]["height"]) == (3 + i, 4 + i)
         assert out[i]["mean_byte"] == mean
+
+
+def _jpeg_bytes(width: int, height: int, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI, APP0/JFIF, DQT,
+    SOF0 (or SOF2), then SOS + EOI. No real entropy data needed for a
+    dims parse."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof = (
+        struct.pack(">BHH", 8, height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+
+    def seg(m, body):
+        return m + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(b"\xff\xe0", app0)
+        + seg(b"\xff\xdb", dqt)
+        + seg(marker, sof)
+        + seg(b"\xff\xda", b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        + b"\xff\xd9"
+    )
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_jpeg_dims_decode(progressive):
+    d = decode_image_bytes(_jpeg_bytes(640, 480, progressive))
+    assert d == {"width": 640, "height": 480, "mean_byte": None, "ok": True}
+
+
+def test_jpeg_truncated_is_not_ok():
+    d = decode_image_bytes(_jpeg_bytes(640, 480)[:6])  # cut before SOF
+    assert d["ok"] is False and d["width"] is None
+
+
+def test_decode_images_contains_corrupt_payloads(spark):
+    """One truncated PNG / short blob must yield ok=False rows, never
+    fail the job (ADVICE r2: per-record error containment)."""
+    good_png = _png_encode(
+        np.arange(12, dtype=np.uint8).reshape(2, 2, 3), 2, filters=[0]
+    )
+    truncated_png = good_png[:-8]  # cut inside IDAT/IEND
+    # IDAT inflates to 10 bytes where the 4x4 RGB scanlines need 52 —
+    # a truncated pixel stream (raises inside _decode_png, contained)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    ib = b"IHDR" + ihdr
+    db = b"IDAT" + zlib.compress(b"\x00" * 10)
+    short_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + ib + struct.pack(">I", zlib.crc32(ib) & 0xFFFFFFFF)
+        + struct.pack(">I", len(db) - 4) + db + struct.pack(">I", zlib.crc32(db) & 0xFFFFFFFF)
+    )
+    rows = [
+        (1, bytes(good_png)),
+        (2, bytes(truncated_png)),
+        (3, bytes(short_idat)),
+        (4, None),
+        (5, bytes(_jpeg_bytes(33, 44))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert out[1]["ok"] and out[1]["width"] == 2
+    assert out[3]["ok"] is False
+    assert out[4]["ok"] is False
+    assert out[5]["ok"] and (out[5]["width"], out[5]["height"]) == (33, 44)
+
+
+def test_png_bomb_guard_skips_pixel_inflation():
+    """A tiny payload declaring gigapixel dims must return dims without
+    inflating (decompression-bomb guard)."""
+    from contessa_spark.operators.multimodal import MAX_PNG_RAW_BYTES
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    body = b"IHDR" + ihdr
+    idat_body = b"IDAT" + zlib.compress(b"\x00" * 1000)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        + struct.pack(">I", len(idat_body) - 4) + idat_body
+        + struct.pack(">I", zlib.crc32(idat_body) & 0xFFFFFFFF)
+    )
+    assert 100_000 * (100_000 * 3 + 1) > MAX_PNG_RAW_BYTES
+    d = decode_image_bytes(payload)
+    assert d == {"width": 100_000, "height": 100_000, "mean_byte": None, "ok": True}
