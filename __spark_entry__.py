@@ -389,7 +389,9 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3)
+    # train_fraction: quantizer trains on a deterministic hash-sampled
+    # half — at 10^9 vectors the Lloyd scans touch the sample only
+    return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3, train_fraction=0.5)
 
 
 def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

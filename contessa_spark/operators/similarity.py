@@ -183,6 +183,17 @@ def hyperplane_lsh_topk(
     )
 
 
+def _pivot_init_df(train: DataFrame, n_cells: int, seed: int) -> DataFrame:
+    """Deterministic pivot-init rows: the ``n_cells`` lowest
+    ``xxhash64(id, seed)`` rows — a pseudo-random but layout-stable
+    selection whose physical plan is TakeOrderedAndProject."""
+    return (
+        train.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_cells)
+    )
+
+
 def _train_ivf_pivots(
     corpus: DataFrame,
     vec_df_col: str,
@@ -196,18 +207,27 @@ def _train_ivf_pivots(
     ``train_iters`` Lloyd iterations (assign to argmax dot, update =
     renormalized per-cell mean). Each iteration is one scan + one tiny
     aggregate; at 10^12 rows train on a sample (``train_fraction``) —
-    quantizer quality needs thousands of vectors, not all of them."""
+    quantizer quality needs thousands of vectors, not all of them.
+
+    The sample is a deterministic hash-threshold predicate (NOT
+    ``df.sample``, whose per-partition RNG changes with the physical
+    partitioning), so pivots are stable across layouts; init is
+    ``orderBy(hash).limit(n)``, which Spark executes as
+    TakeOrderedAndProject — a per-partition n-row heap + driver merge,
+    never a global sort (plan-asserted in tests/test_plans.py)."""
     import math as _math
 
     train = corpus
     if train_fraction is not None:
-        train = corpus.sample(fraction=train_fraction, seed=seed)
-    init = (
-        train.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
-    )
+        thr = max(1, int(train_fraction * 1_000_000))
+        train = corpus.where(
+            F.pmod(
+                F.xxhash64(F.col("neighbor_id"), F.lit(seed * 2 + 1)),
+                F.lit(1_000_000),
+            )
+            < thr
+        )
+    init = _pivot_init_df(train, n_cells, seed).collect()
 
     def _unit(v):
         n = _math.sqrt(sum(x * x for x in v)) or 1.0

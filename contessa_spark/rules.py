@@ -260,9 +260,13 @@ RULES = {
 
 
 def get_rule_cls(type_key: str):
-    """Registry lookup (contessa/rules.py:317-324 — raises ValueError
-    for unknown types, matching the reference exactly)."""
+    """Registry lookup (contessa/rules.py:317-324) — raises ValueError
+    with the reference's message shape, including the available-rules
+    list (genuinely useful at the call site)."""
     try:
         return RULES[type_key]
     except KeyError:
-        raise ValueError(f"The rule type `{type_key}` is unknown to us.") from None
+        raise ValueError(
+            f"I dont know this kind of rule - '{type_key}'. "
+            f"Possible rules are - {list(RULES)}"
+        ) from None

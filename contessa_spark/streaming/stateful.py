@@ -58,15 +58,22 @@ def make_dedup_fn(timeout_minutes: Optional[int] = None):
             return
 
         seen = set(state.get[0]) if state.exists else set()
-        out = []
-        for pdf in batches:
+        # materialize the whole group's micro-batch FIRST:
+        # applyInPandasWithState delivers a group as MULTIPLE Arrow
+        # chunks (~10k rows each), and sorting each chunk independently
+        # would make earliest-capture-wins hold only per chunk — a url
+        # whose min-warc_ts row lands in a later chunk would emit a
+        # later capture. State is already O(group), so one concat does
+        # not change the memory shape.
+        pdfs = list(batches)
+        if pdfs:
+            pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
             # earliest capture wins: scan the batch in warc_ts order so
             # a url repeated within one micro-batch emits its oldest row
             # (stable sort keeps arrival order for equal timestamps)
             pdf = pdf.sort_values("warc_ts", kind="mergesort")
-            fps = pdf["_fp"]
             fresh_mask = []
-            for fp in fps:
+            for fp in pdf["_fp"]:
                 fp = int(fp)
                 if fp in seen:
                     fresh_mask.append(False)
@@ -74,13 +81,13 @@ def make_dedup_fn(timeout_minutes: Optional[int] = None):
                     seen.add(fp)
                     fresh_mask.append(True)
             kept = pdf[pd.Series(fresh_mask, index=pdf.index)]
-            if len(kept):
-                out.append(kept[["url", "warc_ts", "text", "lang", "bucket"]])
+        else:
+            kept = None
         state.update((list(seen),))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60_000)
-        if out:
-            yield from out
+        if kept is not None and len(kept):
+            yield kept[["url", "warc_ts", "text", "lang", "bucket"]]
 
     return _dedup_fn
 

@@ -306,3 +306,37 @@ def test_ivf_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+    # hash-sampled training (the 10^9-vector path): quantizer trained
+    # on half the corpus must still hit the gate
+    sampled = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, k=5, n_cells=16, n_probe=2, train_iters=3,
+            train_fraction=0.5,
+        ).collect()
+    }
+    recall_s = len(exact & sampled) / len(exact)
+    assert recall_s >= 0.9, recall_s
+
+
+def test_ivf_pivot_init_plan_no_global_sort(spark):
+    """Pivot init must be TakeOrderedAndProject (per-partition n-row
+    heap), never a global Sort of the train set (r2 VERDICT item)."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.similarity import _pivot_init_df
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    plan = (
+        _pivot_init_df(train, 8, 42)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -250,3 +250,30 @@ def test_url_dedup_stage(spark, tmp_path):
     out = spark.read.parquet(pipe.output_path)
     assert out.count() == 100
     assert out.where("scrubbed_text LIKE '%UPDATED'").count() == 0
+
+
+def test_input_fingerprint_guard_refuses_remapped_resume(spark, web_df, tmp_path):
+    """input_partition resume depends on an unchanged input listing /
+    split conf (bucket = spark_partition_id). A resume against a
+    different listing must REFUSE instead of silently remapping bucket
+    ids (ADVICE r2)."""
+    src6 = str(tmp_path / "src6")
+    web_df.repartition(6).write.parquet(src6)
+    src3 = str(tmp_path / "src3")
+    web_df.repartition(3).write.parquet(src3)
+
+    cfg = PipelineConfig(bucket_by="input_partition")
+    pipe = QualityFilterPipeline(spark, str(tmp_path / "run"), cfg)
+    pipe.run(spark.read.parquet(src6), task_ts=TASK_TS)
+
+    # same base, different file listing, completed buckets present
+    with pytest.raises(ValueError, match="input_partition resume refused"):
+        pipe.run(spark.read.parquet(src3), task_ts=TASK_TS)
+
+    # identical input resumes fine (all buckets skipped)
+    s = pipe.run(spark.read.parquet(src6), task_ts=TASK_TS)
+    assert s["resumed_buckets_skipped"] > 0
+
+    # a FRESH base (no completed buckets) accepts any input
+    pipe2 = QualityFilterPipeline(spark, str(tmp_path / "run2"), cfg)
+    pipe2.run(spark.read.parquet(src3), task_ts=TASK_TS)

@@ -127,3 +127,23 @@ def test_streaming_url_dedup_across_batches(spark, tmp_path):
     assert out.count() == 150 + n_fresh
     # every url exactly once
     assert out.select("url").distinct().count() == out.count()
+
+
+def test_earliest_capture_wins_across_arrow_chunks():
+    """applyInPandasWithState delivers one group as MULTIPLE chunks; the
+    min-warc_ts row may sit in a later chunk and must still win
+    (ADVICE r2: per-chunk sorting broke the documented semantics)."""
+    fn = make_dedup_fn(None)
+    state = _FakeState()
+    ts = pd.Timestamp
+    chunk1 = _batch([("u", ts("2024-01-02"), "later", "en", 0, 7)])
+    chunk2 = _batch(
+        [
+            ("u", ts("2024-01-01"), "earliest", "en", 0, 7),
+            ("v", ts("2024-01-03"), "other", "en", 0, 8),
+        ]
+    )
+    out = pd.concat(list(fn((0,), iter([chunk1, chunk2]), state)))
+    byurl = {r.url: r.text for r in out.itertuples()}
+    assert byurl == {"u": "earliest", "v": "other"}
+    assert sorted(state.get[0]) == [7, 8]
