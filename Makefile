@@ -8,7 +8,7 @@ bench:
 	SPARK_GRAFT_CPUS=$${SPARK_GRAFT_CPUS:-32} $(PY) bench.py
 
 scaling:
-	$(PY) scripts/scaling_bench.py --low 4 --reps 3 --write
+	$(PY) scripts/scaling_bench.py --low 4 --reps 3 --write --json-out SCALING_r3.json
 
 # spark-submit deployment artifact: zip the package for --py-files
 dist/contessa_spark.zip: $(shell find contessa_spark -name '*.py')

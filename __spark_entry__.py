@@ -329,6 +329,18 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the df-capped path itself under oracle: posting lists longer than
+    # max_df are dropped before pair emission, so common (and thus
+    # jaccard) undercounts for pairs sharing a hot shingle — the oracle
+    # reproduces exactly that with a HAVING count(*) <= max_df filter
+    from contessa_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.1, max_df=30
+    )
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import minhash_lsh_candidates
 
@@ -509,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _url_canonical,
         "doc_line_dedup": _doc_line_dedup,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "embedding_near_dups": _embedding_near_dups,
@@ -786,6 +799,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "  count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j "
             " FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id "
+            " GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.1"
+        ),
+        "dedup_ngram_jaccard_capped": (
+            f"WITH w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(lower(text), '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
+            " for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS shingles FROM w), "
+            "e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh), "
+            "ok AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 30), "
+            "f AS (SELECT e.doc_id, e.n, e.s FROM e JOIN ok USING (s)) "
+            "SELECT id_a, id_b, round(j, 6) AS jaccard FROM ("
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j "
+            " FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id "
             " GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.1"
         ),
         "embedding_near_dups": (

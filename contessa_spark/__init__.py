@@ -34,7 +34,7 @@ from contessa_spark.rules import (
 from contessa_spark.runner import QualityRunner
 from contessa_spark.consistency import ConsistencyChecker
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "TimeFilter",

@@ -163,6 +163,56 @@ def shingles_udf(k: int = 3):
     return F.pandas_udf(_sh, T.ArrayType(T.StringType()))
 
 
+def _make_fnv64_memo():
+    """Per-worker memoized FNV-64 string hash: shingles/words repeat
+    heavily across documents (Zipf), and the per-byte loop is the
+    hottest UDF line — a dict hit replaces ~30 interpreter steps.
+    Bounded so a pathological corpus can't grow worker memory."""
+    _memo: dict = {}
+
+    def _fnv64(s: str) -> int:
+        h = _memo.get(s)
+        if h is not None:
+            return h
+        h = 0xCBF29CE484222325
+        for byte in s.encode("utf-8", "ignore"):
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        if len(_memo) < 4_000_000:
+            _memo[s] = h
+        return h
+
+    return _fnv64
+
+
+def hashed_shingles_udf(k: int = 3):
+    """pandas UDF: text → array<long> of distinct FNV-64 shingle
+    hashes. The inverted-index shuffle then carries 8-byte longs
+    instead of ~20-byte gram strings — ~2× fewer shuffle bytes on the
+    posting lists, which dominate the exact-Jaccard plan at scale.
+    Jaccard over the hash sets equals Jaccard over the string sets
+    unless two distinct shingles of the SAME doc pair FNV-collide
+    (~2⁻⁶⁴ per pair of distinct shingles — negligible)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _fnv64 = _make_fnv64_memo()
+
+    def _hs(texts):
+        out = []
+        for t in texts:
+            sh = py_shingles(t if isinstance(t, str) else "", k)
+            if not sh:
+                out.append([])
+                continue
+            raw = np.fromiter((_fnv64(s) for s in sh), dtype=np.uint64, count=len(sh))
+            out.append(np.unique(raw).view(np.int64).tolist())
+        return pd.Series(out)
+
+    _hs.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_hs, T.ArrayType(T.LongType()))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -179,6 +229,9 @@ def ngram_jaccard_pairs(
     (co-partitioned shuffle join, NOT a cross join) → count common
     shingles per pair → |A∪B| = |A|+|B|−common. Pairs with no shared
     shingle never materialize, so cost tracks true near-dup density.
+    The postings carry FNV-64 shingle HASHES (``hashed_shingles_udf``)
+    — half the shuffle bytes of gram strings, value-identical output
+    up to ~2⁻⁶⁴ within-pair collisions.
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
     ``max_df`` (recommended at scale, e.g. 500) drops posting lists
@@ -190,7 +243,8 @@ def ngram_jaccard_pairs(
     import pandas as pd
 
     sh = df.select(
-        F.col(id_col).alias("_id"), shingles_udf(k)(F.col(text_col)).alias("_sh")
+        F.col(id_col).alias("_id"),
+        hashed_shingles_udf(k)(F.col(text_col)).alias("_sh"),
     ).withColumn("_n", F.size("_sh"))
     inv = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
     # pairs generated per shingle GROUP (collect the posting list, emit
@@ -310,23 +364,7 @@ def band_keys_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
 
     r = n_hashes // bands
     A, B = _affine_params(n_hashes)
-
-    # per-worker memo: shingles repeat heavily across documents (Zipf),
-    # and the byte-loop FNV is the UDF's hottest line — a dict hit
-    # replaces ~30 interpreter steps. Bounded so a pathological corpus
-    # can't grow worker memory without limit.
-    _memo: dict = {}
-
-    def _fnv64(s: str) -> int:
-        h = _memo.get(s)
-        if h is not None:
-            return h
-        h = 0xCBF29CE484222325
-        for byte in s.encode("utf-8", "ignore"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        if len(_memo) < 4_000_000:
-            _memo[s] = h
-        return h
+    _fnv64 = _make_fnv64_memo()
 
     def _keys(texts):
         out = []
@@ -372,19 +410,7 @@ def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
 
     r = n_hashes // bands
     A, B = _affine_params(n_hashes)
-
-    _memo: dict = {}
-
-    def _fnv64(s: str) -> int:
-        h = _memo.get(s)
-        if h is not None:
-            return h
-        h = 0xCBF29CE484222325
-        for byte in s.encode("utf-8", "ignore"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        if len(_memo) < 4_000_000:
-            _memo[s] = h
-        return h
+    _fnv64 = _make_fnv64_memo()
 
     def _sig(texts):
         keys_out, hs_out = [], []
@@ -576,18 +602,7 @@ def simhash_udf(n_bits: int = 64):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    _memo: dict = {}
-
-    def _fnv(w: str) -> int:
-        h = _memo.get(w)
-        if h is not None:
-            return h
-        h = 0xCBF29CE484222325
-        for b in w.encode("utf-8", "ignore"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        if len(_memo) < 4_000_000:
-            _memo[w] = h
-        return h
+    _fnv = _make_fnv64_memo()
 
     def _simhash(texts):
         out = []

@@ -192,8 +192,10 @@ def with_decisions(
 LINEAGE_KEY = ["bucket"]
 
 #: layout version of everything under ``base_path`` (output columns,
-#: lineage schema, quality-check schema). Bump when the layout changes.
-SCHEMA_VERSION = 1
+#: lineage schema, quality-check schema). Bump when the layout changes
+#: and register the step in ``contessa_spark.migration.MIGRATION_STEPS``.
+#: v2: lineage rows carry ``input_fp``.
+SCHEMA_VERSION = 2
 
 
 class QualityFilterPipeline:
@@ -226,13 +228,13 @@ class QualityFilterPipeline:
     # ---- schema version -------------------------------------------
 
     def check_schema_version(self) -> int:
-        """Job-start guard standing in for the reference's alembic
-        migration flow (contessa/migration.py:7-132,
-        migration_runner.py:14-65): the reference checks the alembic
-        version table and migrates before writing results; here a
+        """Job-start guard mirroring the reference's alembic check
+        (contessa/migration.py:7-132, migration_runner.py:14-65): the
         version marker (an Iceberg table property in production) is
         checked and a mismatch refuses the run instead of silently
-        mixing result-table layouts."""
+        mixing result-table layouts — run
+        ``contessa_spark.migration.migrate(base_path)`` to upgrade or
+        downgrade the control tables to this build's revision."""
         import json
 
         marker = os.path.join(self.base, "schema_version.json")
@@ -243,7 +245,8 @@ class QualityFilterPipeline:
                 raise ValueError(
                     f"result tables at {self.base} were written with "
                     f"schema_version={found}, this build expects "
-                    f"{SCHEMA_VERSION} — migrate or use a fresh base_path"
+                    f"{SCHEMA_VERSION} — run contessa_spark.migration."
+                    f"migrate({self.base!r}) or use a fresh base_path"
                 )
             return found
         os.makedirs(self.base, exist_ok=True)
@@ -276,11 +279,13 @@ class QualityFilterPipeline:
             "default_parallelism": self.spark.sparkContext.defaultParallelism,
         }
 
-    def check_input_fingerprint(self, df: DataFrame, resuming: bool) -> None:
+    def check_input_fingerprint(
+        self, df: DataFrame, resuming: bool, fp: Optional[Dict] = None
+    ) -> None:
         import json
 
         marker = os.path.join(self.base, "input_fingerprint.json")
-        fp = self._input_fingerprint(df)
+        fp = fp if fp is not None else self._input_fingerprint(df)
         if os.path.exists(marker):
             with open(marker) as f:
                 found = json.load(f)
@@ -325,8 +330,15 @@ class QualityFilterPipeline:
 
         self.check_schema_version()
         done = set(self.completed_buckets(mode))
+        input_fp = self._input_fingerprint(df)
         if cfg.bucket_by == "input_partition":
-            self.check_input_fingerprint(df, resuming=bool(done))
+            self.check_input_fingerprint(df, resuming=bool(done), fp=input_fp)
+        # compact per-row form for lineage (schema v2): every checkpoint
+        # row records which input listing/split produced it
+        input_fp_str = (
+            f"{input_fp['files_md5'] or 'nofiles'}:{input_fp['n_files']}:"
+            f"{input_fp['max_partition_bytes']}:{input_fp['default_parallelism']}"
+        )
         lineage_path = (
             self.validate_lineage_path if mode == "validate" else self.lineage_path
         )
@@ -439,6 +451,7 @@ class QualityFilterPipeline:
             )
             .toPandas()  # ≤ n_buckets rows — control-plane data
         )
+        lineage_rows["input_fp"] = input_fp_str
 
         # lineage merge, quality rollup and summary are all driver-side
         # pandas over the collected lineage: one Spark job total instead

@@ -309,7 +309,16 @@ class LocalSmallTableMerge:
             mask = ~existing.set_index(key_cols).index.isin(
                 new_pdf.set_index(key_cols).index
             )
-            merged = pd.concat([existing[mask], new_pdf], ignore_index=True)
+            survivors = existing[mask]
+            # full replacement takes the NEW frame's schema: concat with
+            # an empty survivor frame would union columns and resurrect
+            # ones the caller dropped (migration downgrades do exactly
+            # that) as all-NaN
+            merged = (
+                new_pdf
+                if not len(survivors)
+                else pd.concat([survivors, new_pdf], ignore_index=True)
+            )
         else:
             merged = new_pdf
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -114,6 +114,9 @@ def main() -> None:
                     help="skip taskset CPU pinning (NOT recommended: unpinned "
                          "local[N] uses ~2N cores via python workers)")
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the JSON report to this repo-relative "
+                         "path (auditable artifact, e.g. SCALING_r3.json)")
     args = ap.parse_args()
     high = args.low * 4
     pin = not args.no_pin
@@ -173,6 +176,17 @@ def main() -> None:
         "compute_scaling_efficiency": round(comp_eff, 3),
     }
     print(json.dumps(report))
+
+    if args.json_out:
+        import datetime
+
+        report_out = dict(report)
+        report_out["argv"] = sys.argv[1:]
+        report_out["measured_at"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat()
+        with open(os.path.join(REPO, args.json_out), "w") as f:
+            json.dump(report_out, f, indent=1)
 
     if args.write:
         md = (

@@ -216,9 +216,12 @@ def test_schema_version_guard(spark, web_df, tmp_path):
     import json
     import os
 
+    from contessa_spark.pipeline import SCHEMA_VERSION
+
     base = str(tmp_path / "ver")
     pipe = QualityFilterPipeline(spark, base, PipelineConfig(n_buckets=4))
-    assert pipe.check_schema_version() == 1  # fresh path: marker written
+    # fresh path: marker written at the current version
+    assert pipe.check_schema_version() == SCHEMA_VERSION
     with open(os.path.join(base, "schema_version.json"), "w") as f:
         json.dump({"schema_version": 999}, f)
     with pytest.raises(ValueError, match="schema_version"):
