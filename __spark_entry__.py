@@ -341,6 +341,17 @@ def _dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs → connected components → canonical keep ids (the
+    # actual dedup output); min-label propagation, oracle'd by a
+    # DuckDB recursive CTE over the identical pair set
+    from contessa_spark.operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+    return dedup_components(pairs, all_ids=docs.select("doc_id"))
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import minhash_lsh_candidates
 
@@ -522,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _doc_line_dedup,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
+        "dedup_components": _dedup_components,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "embedding_near_dups": _embedding_near_dups,
@@ -814,6 +826,26 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j "
             " FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id "
             " GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.1"
+        ),
+        "dedup_components": (
+            # same pair set as dedup_ngram_jaccard, then component id =
+            # min reachable node via a recursive min-label walk
+            f"WITH RECURSIVE w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(lower(text), '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ') "
+            " for i in range(1, greatest(len(ws) - 2, 0) + 1)]) AS shingles FROM w), "
+            "e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            " FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id "
+            " GROUP BY a.doc_id, b.doc_id "
+            " HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.1), "
+            "ed AS (SELECT id_a AS a, id_b AS b FROM p "
+            " UNION SELECT id_b, id_a FROM p), "
+            "reach AS (SELECT a AS node, a AS lbl FROM ed "
+            " UNION SELECT ed.b, reach.lbl FROM reach JOIN ed ON ed.a = reach.node), "
+            "comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node) "
+            "SELECT d.doc_id, coalesce(comp.cid, d.doc_id) AS component_id "
+            "FROM documents d LEFT JOIN comp ON d.doc_id = comp.node"
         ),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -734,6 +734,81 @@ def simhash_near_dups(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    all_ids: Optional[DataFrame] = None,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, component_id)
+    with ``component_id = min id of the component`` — the step that
+    turns pairwise dedup output into an actual KEEP LIST (keep rows
+    where id == component_id, drop the rest).
+
+    Algorithm: iterative min-label propagation (the Hash-to-Min family,
+    Rastogi et al. 2013): every node repeatedly adopts the smallest
+    label among itself and its neighbors until a fixpoint. Each round
+    is one join + one aggregate on the EDGE list (near-dup graphs are
+    tiny next to the corpus — edges ≪ docs after capping); rounds
+    needed = graph diameter ≤ log for typical dup clusters, hard-capped
+    at ``max_iters``. Each round's label frame is ``localCheckpoint``ed
+    (eager): iterative DataFrame algorithms MUST truncate lineage every
+    round or the logical plan doubles per iteration and the planner
+    itself OOMs around round ~10 (measured on a 10-node path graph);
+    on a cluster with a checkpoint dir, swap for ``checkpoint()``.
+
+    ``all_ids`` (optional, e.g. ``df.select("doc_id")``): include
+    singleton docs (no near-dup) as their own component; otherwise only
+    ids appearing in some pair are returned.
+    """
+    # undirected edge list, both directions (propagation is symmetric)
+    e = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    e = e.distinct().persist()
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # candidate labels: own + the label of every neighbor
+        neighbor = e.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        # convergence: did any node's label shrink this round?
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old"), "node"
+            )
+            .where(F.col("lbl") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("component_id")
+    )
+    if all_ids is not None:
+        singles = all_ids.select(F.col(id_col)).join(
+            out.select(id_col), id_col, "left_anti"
+        ).withColumn("component_id", F.col(id_col))
+        out = out.unionByName(singles)
+    return out
+
+
 def embedding_near_dups_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

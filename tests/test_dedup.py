@@ -340,3 +340,31 @@ def test_ivf_pivot_init_plan_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dedup_components_semantics(spark):
+    """Min-label propagation: triangle + chain + pair + singleton; a
+    10-node path exercises multi-round convergence (diameter rounds)."""
+    from contessa_spark.operators.dedup import dedup_components
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs += [(100 + i, 100 + i + 1) for i in range(9)]  # path 100..109
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99] + list(range(100, 110))],
+        "doc_id long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_components(pdf, all_ids=ids).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        99: 99,
+        **{100 + i: 100 for i in range(10)},
+    }
+    # keep list = rows where id == component: one per component
+    keeps = sorted(k for k, v in got.items() if k == v)
+    assert keeps == [1, 10, 20, 99, 100]
