@@ -258,6 +258,23 @@ def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-shape dashboard: exact length percentiles per language.
+    # ONE shuffle on lang with partial aggregation; Spark's exact
+    # percentile and DuckDB's quantile_cont share the linear-
+    # interpolation definition, so the oracle is value-exact
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(
+                F.expr(f"percentile(length(text), {p})"), 6
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.9)
+        ],
+    )
+
+
 def _token_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import token_topk_per_lang
 
@@ -339,6 +356,17 @@ def _dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _load(spark, sf_dir, "documents"), k=3, threshold=0.1, max_df=30
     )
+
+
+def _doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark = every 50th doc (a deterministic stand-in eval suite,
+    # guaranteed overlap with the corpus); n=3 so the synthetic corpus
+    # actually shares grams — production uses n=13 (GPT-3 appendix C)
+    from contessa_spark.operators.decontaminate import ngram_contamination
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return ngram_contamination(docs, bench, n=3)
 
 
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_lines": _doc_dup_lines,
         "doc_top_ngrams": _doc_top_ngrams,
         "token_topk_per_lang": _token_topk_per_lang,
+        "doc_length_quantiles": _doc_length_quantiles,
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
         "dedup_exact": _dedup_exact,
@@ -534,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
+        "doc_decontamination": _doc_decontamination,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "embedding_near_dups": _embedding_near_dups,
@@ -762,6 +792,14 @@ def oracle_sql() -> dict[str, str]:
             f" SELECT lang, token, n, row_number() OVER (PARTITION BY lang "
             f"  ORDER BY n DESC, token ASC)::INT AS rank FROM t) WHERE rank <= 10"
         ),
+        "doc_length_quantiles": (
+            "SELECT lang, count(*)::BIGINT AS n_docs, "
+            "round(quantile_cont(length(text), 0.25), 6) AS p25, "
+            "round(quantile_cont(length(text), 0.50), 6) AS p50, "
+            "round(quantile_cont(length(text), 0.75), 6) AS p75, "
+            "round(quantile_cont(length(text), 0.90), 6) AS p90 "
+            "FROM documents GROUP BY lang"
+        ),
         "doc_fingerprints": (
             f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
             f"AS fingerprint FROM documents"
@@ -826,6 +864,18 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j "
             " FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id "
             " GROUP BY a.doc_id, b.doc_id) WHERE j >= 0.1"
+        ),
+        "doc_decontamination": (
+            f"WITH w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(lower(text), '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2], ' ') "
+            " for i in range(1, greatest(len(ws) - 2, 0) + 1)])) AS gram FROM w), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), "
+            "h AS (SELECT g.doc_id, count(*)::BIGINT AS hit_ngrams "
+            " FROM g JOIN bg USING (gram) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, coalesce(h.hit_ngrams, 0)::BIGINT AS hit_ngrams, "
+            "coalesce(h.hit_ngrams, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
         ),
         "dedup_components": (
             # same pair set as dedup_ngram_jaccard, then component id =

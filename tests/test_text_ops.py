@@ -116,3 +116,34 @@ def test_top_ngram_char_frac_semantics(spark):
     assert got[1]["top_3gram_char_frac"] == round(10 / 9, 6)
     assert got[2]["top_2gram_char_frac"] == 0.0
     assert got[3]["top_2gram_char_frac"] == round(7 / 13, 6)
+
+
+def test_ngram_contamination_semantics_and_plan(spark):
+    """Known overlaps: doc 1 shares its full text with the benchmark,
+    doc 2 shares one 3-gram, doc 3 shares none; the benchmark gram set
+    must be broadcast (corpus side never shuffles for the probe)."""
+    from contessa_spark.operators.decontaminate import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a different text with the quick brown tail"),
+            (3, "completely unrelated words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out_df = ngram_contamination(docs, bench, n=3)
+    got = {r["doc_id"]: (r["hit_ngrams"], r["contaminated"]) for r in out_df.collect()}
+    # doc 1: grams {the quick brown, quick brown fox, brown fox jumps}
+    # — all inside the benchmark's gram set
+    assert got[1] == (3, True)
+    assert got[2] == (1, True)  # only "the quick brown"
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
