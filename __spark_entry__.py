@@ -338,6 +338,12 @@ def _doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_doc_lines(_load(spark, sf_dir, "documents"))
 
 
+def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import corpus_line_dedup
+
+    return corpus_line_dedup(_load(spark, sf_dir, "documents"))
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -560,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "url_canonical": _url_canonical,
         "doc_line_dedup": _doc_line_dedup,
+        "corpus_line_dedup": _corpus_line_dedup,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
@@ -834,6 +841,20 @@ def oracle_sql() -> dict[str, str]:
             "len(l)::BIGINT AS n_lines, "
             "(len(l) - len(list_distinct(l)))::BIGINT AS n_dupe_lines "
             "FROM t"
+        ),
+        "corpus_line_dedup": (
+            # two positional unnests in one SELECT zip in DuckDB; global
+            # first occurrence per line via row_number over (doc, idx)
+            "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents), "
+            "e AS (SELECT doc_id, unnest(range(1, len(l) + 1))::BIGINT AS idx, "
+            " unnest(l) AS line FROM t), "
+            "k AS (SELECT doc_id, idx, line, row_number() OVER "
+            " (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM e), "
+            "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text, "
+            " count(*)::BIGINT AS n_kept FROM k WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+            "len(t.l)::BIGINT AS n_lines, coalesce(r.n_kept, 0)::BIGINT AS n_kept "
+            "FROM t LEFT JOIN r ON t.doc_id = r.doc_id"
         ),
         "dedup_exact": (
             f"SELECT min(doc_id) AS doc_id FROM documents "

@@ -113,6 +113,64 @@ def dedup_doc_lines(
     )
 
 
+def corpus_line_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CROSS-document exact line dedup (the RefinedWeb/CCNet-style
+    corpus pass; C4 §2.2's three-sentence-span rule in its exact-line
+    form): every distinct line survives exactly ONCE in the whole
+    corpus — at its globally first occurrence, ordered by
+    (doc_id, line_idx) — and every later occurrence is dropped; docs
+    are rebuilt preserving their internal line order.
+
+    Plan, shaped for the hot-line hazard: a boilerplate line ("", nav
+    text) occurs in ~every doc, so a window partitioned by line would
+    funnel 10¹² rows into one partition. Instead the global first
+    occurrence is ``min(struct(doc_id, idx))`` per line — a hash
+    aggregate with MAP-SIDE partial combine, so hot lines reduce to one
+    row per partition before the shuffle — followed by a join back on
+    the line (one row per distinct line on the build side; AQE
+    skew-join splits the probe side if needed) and a rebuild groupBy on
+    the doc id. Three shuffles total, none unbounded.
+
+    Output: (id, clean_text, n_lines, n_kept).
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    )
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
+    )
+    kept = (
+        lines.join(firsts, "line")
+        .where(
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.idx") == F.col("idx"))
+        )
+        .select(id_col, "idx", "line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
 # ------------------------------------------------------------- shingles
 
 def shingle_col(text_col: str = "text", k: int = 3) -> Column:

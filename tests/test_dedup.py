@@ -368,3 +368,26 @@ def test_dedup_components_semantics(spark):
     # keep list = rows where id == component: one per component
     keeps = sorted(k for k, v in got.items() if k == v)
     assert keeps == [1, 10, 20, 99, 100]
+
+
+def test_corpus_line_dedup_semantics(spark):
+    """Cross-doc: each distinct line survives once, at its globally
+    first (doc_id, idx) occurrence; docs rebuild in internal order."""
+    from contessa_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nunique one\nfooter"),
+            (2, "nav bar\nunique two\nfooter"),   # nav/footer dropped
+            (3, "unique one\nunique three"),       # "unique one" dropped
+            (4, "nav bar"),                        # everything dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus_line_dedup(docs).collect()}
+    assert got[1]["clean_text"] == "nav bar\nunique one\nfooter"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["clean_text"] == "unique two"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
+    assert got[3]["clean_text"] == "unique three"
+    assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
