@@ -395,9 +395,12 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=7 with adaptive 8x8-bit banding is pigeonhole-LOSSLESS
+    # (r2 used 8 with 4x16 banding, lossless only <=3 — a documented
+    # recall gap, now gone); equality to brute force is pytest-gated
     from contessa_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_load(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_dups(_load(spark, sf_dir, "documents"), max_hamming=7)
 
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -697,13 +697,19 @@ def simhash_near_dups(
     max_hamming: int = 3,
     max_df: Optional[int] = None,
     observation=None,
+    bands: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
-    Block by rotating 16-bit band keys (4 bands: any pair within
-    Hamming ≤ 3 shares at least one exact band — pigeonhole; at larger
-    ``max_hamming`` banding is lossy, documented at the call sites).
-    Pairs are emitted per (band, key) GROUP — the same single-pass
+    Block by rotating band keys. The band count ADAPTS to
+    ``max_hamming`` (pigeonhole: hamming ≤ k pairs share ≥1 exact band
+    iff bands > k): 4×16-bit bands for k ≤ 3, 8×8-bit for k ≤ 7 —
+    the coarsest lossless banding, because fewer/wider bands mean
+    fewer, colder (band, key) groups. k ≥ 8 keeps 8×8 banding and is
+    RECALL-LOSSY (pass ``bands=16`` for lossless ≤ 15, at the cost of
+    4-bit keys whose groups run ~N/16 hot — the ``max_df`` cap is then
+    mandatory at scale). Pairs are emitted per (band, key) GROUP — the
+    same single-pass
     group-emission + ``_cap_groups(max_df)`` pattern as its three
     siblings (ngram/minhash/embedding-LSH), never a row-level
     self-join: a 16-bit key space means a 10¹²-doc corpus averages
@@ -715,8 +721,9 @@ def simhash_near_dups(
     import pandas as pd
 
     sh = df.select(F.col(id_col).alias("_id"), simhash_udf()(F.col(text_col)).alias("_sim"))
-    bands = 4
-    width = 16
+    if bands is None:
+        bands = 4 if max_hamming <= 3 else 8
+    width = 64 // bands
     entries = sh.select(
         "_id",
         "_sim",

@@ -202,14 +202,16 @@ def test_minhash_recall_equals_exact_at_driver_settings(spark):
     assert lsh == exact, f"recall {len(lsh)}/{len(exact)}"
 
 
-def test_simhash_banding_is_lossless_at_hamming_3(spark):
-    """4 bands × 16 bits: any pair within hamming ≤ 3 shares ≥1 exact
-    band (pigeonhole) — banded result must EQUAL the brute-force
-    bit_count(xor) pair join, not approximate it."""
+@pytest.mark.parametrize("max_h", [3, 7])
+def test_simhash_banding_is_lossless(spark, max_h):
+    """Adaptive banding (4×16 bits for k≤3, 8×8 for k≤7): any pair
+    within hamming ≤ k shares ≥1 exact band (pigeonhole) — banded
+    result must EQUAL the brute-force bit_count(xor) pair join, not
+    approximate it."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     banded = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_near_dups(docs, max_hamming=3).collect()
+        for r in simhash_near_dups(docs, max_hamming=max_h).collect()
     }
     sigs = docs.select(
         F.col("doc_id").alias("_id"), simhash_udf()(F.col("text")).alias("_sim")
@@ -222,11 +224,11 @@ def test_simhash_banding_is_lossless_at_hamming_3(spark):
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= max_h)
         .collect()
     }
     assert banded == brute
-    assert brute, "corpus must contain at least one hamming≤3 pair"
+    assert brute, f"corpus must contain at least one hamming≤{max_h} pair"
 
 
 def test_hyperplane_lsh_join_recall_and_plan(spark):
