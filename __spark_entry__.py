@@ -236,6 +236,12 @@ def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngram_char_frac(_load(spark, sf_dir, "documents"), ns=(2, 3, 4))
 
 
+def _doc_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import alpha_word_stats
+
+    return alpha_word_stats(_load(spark, sf_dir, "documents"))
+
+
 def _doc_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import line_stats
 
@@ -558,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_sample": _doc_sample,
         "doc_line_stats": _doc_line_stats,
+        "doc_alpha_words": _doc_alpha_words,
         "doc_dup_ngrams": _doc_dup_ngrams,
         "doc_dup_ngrams5": _doc_dup_ngrams5,
         "doc_dup_lines": _doc_dup_lines,
@@ -785,6 +792,17 @@ def oracle_sql() -> dict[str, str]:
             "  - list_sum(list_transform(list_distinct(p), x -> length(x)))) "
             "  / list_sum(list_transform(p, x -> length(x))), 6) END AS dup_para_char_frac "
             "FROM t"
+        ),
+        "doc_alpha_words": (
+            f"WITH w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws FROM documents) "
+            "SELECT doc_id, "
+            "round(CASE WHEN len(ws) = 0 THEN 0.0 "
+            " ELSE len(list_filter(ws, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) / len(ws) END, 6) "
+            "AS alpha_word_frac, "
+            "(CASE WHEN len(ws) = 0 THEN 0.0 "
+            " ELSE len(list_filter(ws, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) / len(ws) END) >= 0.8 "
+            "AS passes_alpha_80 FROM w"
         ),
         "doc_line_stats": (
             "WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents) "

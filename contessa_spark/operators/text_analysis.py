@@ -238,6 +238,26 @@ def top_ngram_char_frac(
     )
 
 
+def alpha_word_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher §A1.2 'at least 80 % of words contain an alphabetic
+    character': per-doc fraction of words with ≥1 letter and the
+    boolean 80 %-gate. Pure per-row JVM (rlike inside a filter lambda),
+    no shuffle; same letter class as the token/symbol contract."""
+    from contessa_spark.functions.textstats import spark_words_col
+
+    words = spark_words_col(text_col)
+    n = F.size(words)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(alpha / n.cast("double"))
+    return df.select(
+        F.col(id_col),
+        F.round(frac, 6).alias("alpha_word_frac"),
+        (frac >= 0.8).alias("passes_alpha_80"),
+    )
+
+
 def py_dup_ngram_char_frac(text: str, n: int = 2) -> float:
     """Pure core (Gopher §A1.1 'duplicate n-gram character fraction'):
     of all characters covered by word n-gram occurrences, the fraction

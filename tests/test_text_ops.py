@@ -147,3 +147,22 @@ def test_ngram_contamination_semantics_and_plan(spark):
 
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_alpha_word_stats_semantics(spark):
+    from contessa_spark.operators.text_analysis import alpha_word_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "four words all alpha"),
+            (2, "123 456 789 word1"),   # only "word1" has a letter: 1/4
+            (3, ""),
+            (4, "mixed 42 :: text!"),   # mixed(1) 42(0) ::(0) text!(1) → 2/4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in alpha_word_stats(docs).collect()}
+    assert got[1]["alpha_word_frac"] == 1.0 and got[1]["passes_alpha_80"]
+    assert got[2]["alpha_word_frac"] == 0.25 and not got[2]["passes_alpha_80"]
+    assert got[3]["alpha_word_frac"] == 0.0 and not got[3]["passes_alpha_80"]
+    assert got[4]["alpha_word_frac"] == 0.5 and not got[4]["passes_alpha_80"]
