@@ -155,3 +155,32 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_corpus_line_dedup_prunes_and_partial_aggregates(spark):
+    """The cross-corpus line pass must (a) read only (doc_id, text)
+    from the scan and (b) find first occurrences with a partial-
+    aggregable min(struct) HashAggregate — NOT a window partitioned by
+    line, which would funnel every occurrence of a hot boilerplate
+    line into one partition."""
+    from contessa_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(corpus_line_dedup(docs))
+    import re
+
+    for rs in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "lang" not in rs and "quality" not in rs
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the line groups
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.decontaminate import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    plan = _plan(ngram_contamination(docs, bench, n=3))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
