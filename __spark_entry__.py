@@ -503,6 +503,36 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media)
 
 
+def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real RIFF/WAVE payloads (PCM16, deterministic sawtooth samples)
+    # synthesized per doc_id, then actually decoded — headers AND the
+    # sample stream (mean-abs amplitude); the oracle recomputes every
+    # field arithmetically from doc_id
+    import pandas as pd
+
+    from contessa_spark.operators.multimodal import decode_audio, fake_wav_bytes
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def make_media(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        fake_wav_bytes(
+                            8000 + (i % 4) * 4000, 1 + i % 2, 100 + i % 400, i
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make_media, schema="media_id long, payload binary")
+    return decode_audio(media)
+
+
 def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.windows import session_stats
 
@@ -595,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers_per_nation": _top_suppliers_per_nation,
         "lineitem_rollup": _lineitem_rollup,
         "media_decode": _media_decode,
+        "media_audio_decode": _media_audio_decode,
     }
 
 
@@ -1004,6 +1035,16 @@ def oracle_sql() -> dict[str, str]:
             "true AS ok, "
             "(17 + ((16 + doc_id % 64) * (16 + doc_id % 32)) % 4096)::BIGINT AS n_bytes "
             "FROM documents"
+        ),
+        "media_audio_decode": (
+            "WITH p AS (SELECT doc_id, (8000 + (doc_id % 4) * 4000)::INT AS sample_rate, "
+            " (1 + doc_id % 2)::INT AS n_channels, (100 + doc_id % 400)::BIGINT AS n_frames "
+            " FROM documents) "
+            "SELECT doc_id AS media_id, sample_rate, n_channels, 16::INT AS bits_per_sample, "
+            "n_frames, round(n_frames / sample_rate * 1000, 6) AS duration_ms, "
+            "round(list_aggregate([abs((k * 37 + doc_id) % 2048 - 1024) "
+            " for k in range(0, n_frames * n_channels)], 'avg'), 6) AS mean_abs, "
+            "true AS ok FROM p"
         ),
         # doc_langid, doc_scrub, dedup_minhash_lsh, dedup_simhash,
         # embedding_near_dups_lsh, ann_topk_lsh, ann_topk_ivf:

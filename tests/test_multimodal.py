@@ -199,3 +199,34 @@ def test_png_bomb_guard_skips_pixel_inflation():
     assert 100_000 * (100_000 * 3 + 1) > MAX_PNG_RAW_BYTES
     d = decode_image_bytes(payload)
     assert d == {"width": 100_000, "height": 100_000, "mean_byte": None, "ok": True}
+
+
+def test_wav_decode_real_bytes():
+    from contessa_spark.operators.multimodal import decode_wav_bytes, fake_wav_bytes
+
+    d = decode_wav_bytes(fake_wav_bytes(16000, 2, 50, seed=3))
+    assert d["ok"]
+    assert (d["sample_rate"], d["n_channels"], d["bits_per_sample"]) == (16000, 2, 16)
+    assert d["n_frames"] == 50
+    assert d["duration_ms"] == round(50 / 16000 * 1000, 6)
+    expect_mean = sum(abs(((k * 37 + 3) % 2048) - 1024) for k in range(100)) / 100
+    assert d["mean_abs"] == round(expect_mean, 6)
+
+    # malformed inputs are not ok, never raise
+    assert decode_wav_bytes(b"RIFFxxxx") == decode_wav_bytes(None)
+    assert decode_wav_bytes(b"RIFF\x00\x00\x00\x00WAVE")["ok"] is False
+    truncated = fake_wav_bytes(8000, 1, 20, seed=1)[:30]
+    assert decode_wav_bytes(truncated)["ok"] is False
+
+
+def test_decode_audio_spark_path(spark):
+    import pandas as pd
+
+    from contessa_spark.operators.multimodal import decode_audio, fake_wav_bytes
+
+    rows = [(1, fake_wav_bytes(8000, 1, 10, seed=1)), (2, b"not a wav"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert out[1]["ok"] and out[1]["n_frames"] == 10
+    assert out[2]["ok"] is False
+    assert out[3]["ok"] is False
