@@ -533,6 +533,37 @@ def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media)
 
 
+def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real ISO-BMFF (MP4) skeletons per doc_id — ftyp + moov/mvhd +
+    # trak/tkhd — decoded by the public-spec box walk; oracle
+    # recomputes all fields arithmetically
+    import pandas as pd
+
+    from contessa_spark.operators.multimodal import decode_video, fake_mp4_bytes
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def make_media(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        fake_mp4_bytes(
+                            320 + (i % 8) * 80,
+                            240 + (i % 6) * 60,
+                            1000 + (i % 5000),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make_media, schema="media_id long, payload binary")
+    return decode_video(media)
+
+
 def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.windows import session_stats
 
@@ -626,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _lineitem_rollup,
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
+        "media_video_decode": _media_video_decode,
     }
 
 
@@ -1045,6 +1077,12 @@ def oracle_sql() -> dict[str, str]:
             "round(list_aggregate([abs((k * 37 + doc_id) % 2048 - 1024) "
             " for k in range(0, n_frames * n_channels)], 'avg'), 6) AS mean_abs, "
             "true AS ok FROM p"
+        ),
+        "media_video_decode": (
+            "SELECT doc_id AS media_id, (320 + (doc_id % 8) * 80)::INT AS width, "
+            "(240 + (doc_id % 6) * 60)::INT AS height, "
+            "round((1000 + (doc_id % 5000)) / 1000 * 1000, 6) AS duration_ms, "
+            "1000::INT AS timescale, true AS ok FROM documents"
         ),
         # doc_langid, doc_scrub, dedup_minhash_lsh, dedup_simhash,
         # embedding_near_dups_lsh, ann_topk_lsh, ann_topk_ivf:

@@ -2,11 +2,13 @@
 columns with typed metadata.
 
 The Spark side — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual codec work is STUBBED
-(this container ships no image/audio libraries): ``decode_image``
-parses a deterministic fake header our own ``fake_image_bytes``
-writes, and raises ``NotImplementedError`` for real formats. Swapping
-in Pillow/libav happens inside one function body; the distributed
+signatures — is real and tested, and so are the dependency-free
+public-spec decoders: PNG (full scanline unfilter + pixel stats),
+JPEG (SOFn dims), WAV (RIFF chunk walk + PCM16 sample stats), MP4
+(ISO-BMFF box walk: mvhd duration, tkhd dims). Pixel/sample-level
+work for compressed video and JPEG entropy data is the one remaining
+stub (no image/av libraries ship in this container) — swapping in
+Pillow/libav happens inside one function body; the distributed
 plumbing does not change.
 
 Batch-shape rule: media blobs are large, so all decode/feature UDFs
@@ -299,6 +301,140 @@ def decode_wav_bytes(payload: bytes) -> dict:
         "mean_abs": mean_abs,
         "ok": True,
     }
+
+
+def fake_mp4_bytes(
+    width: int, height: int, duration_units: int, timescale: int = 1000
+) -> bytes:
+    """A REAL minimal ISO-BMFF (MP4) skeleton: ftyp + moov{mvhd,
+    trak{tkhd}} with version-0 boxes — enough structure for any
+    box-walking metadata parser, no media samples."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration_units)
+        + struct.pack(">IH2x", 0x00010000, 0x0100)  # rate, volume
+        + bytes(8 + 36 + 24)  # reserved + matrix + predefined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">III", 0, 0, 1)  # times, track id
+        + bytes(4 + 4)  # reserved, duration
+        + bytes(8)  # reserved
+        + struct.pack(">HH", 0, 0)  # layer, alt group
+        + struct.pack(">H2x", 0)  # volume
+        + bytes(36)  # matrix
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def decode_mp4_bytes(payload: bytes) -> dict:
+    """Pure core: ISO-BMFF box walk (ISO/IEC 14496-12, public spec) →
+    movie duration from ``moov/mvhd`` (version 0 and 1) and track
+    dimensions from the first ``moov/trak/tkhd`` (16.16 fixed-point).
+    No sample decode — the libav swap-in point; ok=False on anything
+    that isn't a well-formed box tree."""
+    import struct
+
+    bad = {
+        "width": None, "height": None, "duration_ms": None,
+        "timescale": None, "ok": False,
+    }
+    if payload is None or len(payload) < 8:
+        return bad
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # box extends to end
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            yield btype, body, pos + size
+            pos += size
+
+    duration = timescale = width = height = None
+    saw_ftyp = saw_moov = False
+    for btype, body, end in walk(0, len(payload)):
+        if btype == b"ftyp":
+            saw_ftyp = True
+        if btype == b"moov":
+            saw_moov = True
+            for b2, body2, end2 in walk(body, end):
+                if b2 == b"mvhd" and end2 - body2 >= 4:
+                    ver = payload[body2]
+                    if ver == 0 and end2 - body2 >= 20:
+                        timescale, duration = struct.unpack_from(
+                            ">II", payload, body2 + 12
+                        )
+                    elif ver == 1 and end2 - body2 >= 28:
+                        (timescale,) = struct.unpack_from(">I", payload, body2 + 20)
+                        (duration,) = struct.unpack_from(">Q", payload, body2 + 24)
+                elif b2 == b"trak" and width is None:
+                    for b3, body3, end3 in walk(body2, end2):
+                        if b3 == b"tkhd" and end3 - body3 >= 84:
+                            w, h = struct.unpack_from(">II", payload, end3 - 8)
+                            width, height = w >> 16, h >> 16
+    if not (saw_ftyp and saw_moov) or timescale in (None, 0):
+        return bad
+    return {
+        "width": int(width) if width is not None else None,
+        "height": int(height) if height is not None else None,
+        "duration_ms": round(duration / timescale * 1000, 6),
+        "timescale": int(timescale),
+        "ok": True,
+    }
+
+
+VIDEO_SCHEMA = (
+    "media_id long, width int, height int, duration_ms double, "
+    "timescale int, ok boolean"
+)
+
+
+def decode_video(df: DataFrame) -> DataFrame:
+    """mapInPandas MP4 metadata decode — per-record containment as in
+    ``decode_images``/``decode_audio``."""
+    import pandas as pd
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_mp4_bytes(
+                        bytes(payload) if payload is not None else None
+                    )
+                except Exception:
+                    d = {
+                        "width": None, "height": None, "duration_ms": None,
+                        "timescale": None, "ok": False,
+                    }
+                d = dict(d)
+                d["media_id"] = mid
+                rows.append(d)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(_decode, schema=VIDEO_SCHEMA)
 
 
 AUDIO_SCHEMA = (

@@ -230,3 +230,30 @@ def test_decode_audio_spark_path(spark):
     assert out[1]["ok"] and out[1]["n_frames"] == 10
     assert out[2]["ok"] is False
     assert out[3]["ok"] is False
+
+
+def test_mp4_decode_real_bytes():
+    from contessa_spark.operators.multimodal import decode_mp4_bytes, fake_mp4_bytes
+
+    d = decode_mp4_bytes(fake_mp4_bytes(640, 360, 2500, timescale=1000))
+    assert d == {
+        "width": 640, "height": 360, "duration_ms": round(2500 / 1000 * 1000, 6),
+        "timescale": 1000, "ok": True,
+    }
+    # malformed: no moov, truncated boxes, None
+    assert decode_mp4_bytes(b"\x00\x00\x00\x08ftyp")["ok"] is False
+    assert decode_mp4_bytes(fake_mp4_bytes(1, 1, 1)[:20])["ok"] is False
+    assert decode_mp4_bytes(None)["ok"] is False
+    # a box whose declared size exceeds payload must not loop/crash
+    bomb = b"\x00\xff\xff\xffmoov" + b"\x00" * 16
+    assert decode_mp4_bytes(bomb)["ok"] is False
+
+
+def test_decode_video_spark_path(spark):
+    from contessa_spark.operators.multimodal import decode_video, fake_mp4_bytes
+
+    rows = [(1, fake_mp4_bytes(320, 240, 1234)), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_video(df).collect()}
+    assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (320, 240)
+    assert out[2]["ok"] is False and out[3]["ok"] is False
