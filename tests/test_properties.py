@@ -104,3 +104,51 @@ def test_time_filter_sql_text_golden():
         ]
     )
     assert " OR " in tf2.sql_text(now)
+
+
+@given(text_st, st.integers(min_value=1, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_dup_and_top_ngram_fracs_properties(t, n):
+    from contessa_spark.operators.text_analysis import (
+        py_dup_ngram_char_frac,
+        py_top_ngram_char_frac,
+    )
+
+    dup = py_dup_ngram_char_frac(t, n)
+    assert 0.0 <= dup <= 1.0
+    top = py_top_ngram_char_frac(t, n)
+    assert top >= 0.0  # uncapped by convention (overlaps), but never negative
+    # a doc with fewer than n words has no grams
+    if len(t.split()) < n:
+        assert dup == 0.0 and top == 0.0
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_media_decoders_never_raise_on_garbage(b):
+    """The pure decode cores must return ok=False on arbitrary garbage
+    (any raise inside the containment try/except means a lost row;
+    outside it, a failed job)."""
+    from contessa_spark.operators.multimodal import (
+        decode_mp4_bytes,
+        decode_wav_bytes,
+    )
+
+    payload = b.encode("utf-8", "surrogatepass")
+    assert decode_wav_bytes(payload)["ok"] in (True, False)
+    assert decode_mp4_bytes(payload)["ok"] in (True, False)
+    # prefix with the magics so the walkers actually engage
+    assert decode_wav_bytes(b"RIFF" + payload)["ok"] in (True, False)
+    assert decode_mp4_bytes(b"\x00\x00\x00\x10ftypisom" + payload)["ok"] in (
+        True,
+        False,
+    )
+
+
+@given(st.binary(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_marker_walk_never_raises(b):
+    from contessa_spark.operators.multimodal import _decode_jpeg
+
+    d = _decode_jpeg(b"\xff\xd8\xff" + b)
+    assert d["ok"] in (True, False)
