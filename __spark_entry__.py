@@ -236,6 +236,19 @@ def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngram_char_frac(_load(spark, sf_dir, "documents"), ns=(2, 3, 4))
 
 
+def _doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine-portable modulo bucketing so DuckDB reproduces the exact
+    # pack layout (production default is xxhash64 for uniformity)
+    from contessa_spark.operators.text_analysis import pack_documents
+
+    return pack_documents(
+        _load(spark, sf_dir, "documents"),
+        budget_tokens=2048,
+        n_buckets=8,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+
+
 def _doc_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import alpha_word_stats
 
@@ -626,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _doc_sample,
         "doc_line_stats": _doc_line_stats,
         "doc_alpha_words": _doc_alpha_words,
+        "doc_pack_assignments": _doc_pack_assignments,
         "doc_dup_ngrams": _doc_dup_ngrams,
         "doc_dup_ngrams5": _doc_dup_ngrams5,
         "doc_dup_lines": _doc_dup_lines,
@@ -855,6 +869,15 @@ def oracle_sql() -> dict[str, str]:
             "  - list_sum(list_transform(list_distinct(p), x -> length(x)))) "
             "  / list_sum(list_transform(p, x -> length(x))), 6) END AS dup_para_char_frac "
             "FROM t"
+        ),
+        "doc_pack_assignments": (
+            f"WITH w AS (SELECT doc_id, (doc_id % 8)::INT AS bucket, "
+            f" len(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> ''))::BIGINT AS n_tokens "
+            f" FROM documents) "
+            "SELECT doc_id, bucket, "
+            "floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)::BIGINT AS pack_id, "
+            "n_tokens FROM w"
         ),
         "doc_alpha_words": (
             f"WITH w AS (SELECT doc_id, "

@@ -305,6 +305,59 @@ def dup_ngram_char_frac(
     )
 
 
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: Column = None,
+) -> DataFrame:
+    """Sequence packing for training-batch construction: assign each
+    doc to a pack of ≈``budget_tokens`` whitespace tokens.
+
+    True greedy bin-packing is order-sequential; the distributed form
+    packs WITHIN deterministic hash buckets — ``pack_id = floor(
+    exclusive-cumulative-tokens / budget)`` over (bucket, doc_id)
+    order. One shuffle on the bucket key; the running-sum window stays
+    inside its bucket partition (bounded size ≈ corpus/n_buckets), so
+    no global ordering ever materializes. Oversized docs (> budget)
+    occupy their own pack slot(s) rather than being split — splitting
+    belongs to the tokenizer stage.
+
+    Output: (id, bucket, pack_id, n_tokens); (bucket, pack_id) is the
+    globally-unique pack key.
+
+    ``bucket_col`` overrides the default ``pmod(xxhash64(id), n)``
+    bucketing (e.g. an engine-portable ``id % n`` for external
+    cross-checks, or a curriculum/domain key).
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+    if bucket_col is None:
+        bucket_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    base = df.select(
+        F.col(id_col),
+        bucket_col.cast("int").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "bucket",
+        F.floor(cum_excl / budget_tokens).cast("long").alias("pack_id"),
+        "n_tokens",
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint md5-of-normalized-text, head_hash rolling-ish
     prefix hash) — cheap doc identity keys for incremental dedup."""

@@ -166,3 +166,32 @@ def test_alpha_word_stats_semantics(spark):
     assert got[2]["alpha_word_frac"] == 0.25 and not got[2]["passes_alpha_80"]
     assert got[3]["alpha_word_frac"] == 0.0 and not got[3]["passes_alpha_80"]
     assert got[4]["alpha_word_frac"] == 0.5 and not got[4]["passes_alpha_80"]
+
+
+def test_pack_documents_semantics(spark):
+    """Exclusive-cumsum packing: packs fill to the budget in
+    (bucket, doc_id) order; oversized docs take their own slot."""
+    from contessa_spark.operators.text_analysis import pack_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three"),          # 3 tokens
+            (2, " ".join(["w"] * 5)),      # 5 tokens
+            (4, " ".join(["w"] * 20)),     # oversized vs budget 8
+            (6, "tail doc"),               # 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(
+            docs, budget_tokens=8, n_buckets=1,
+            bucket_col=__import__("pyspark.sql.functions", fromlist=["lit"]).lit(0),
+        ).collect()
+    }
+    # cum_excl: 0, 3, 8, 28 → packs 0, 0, 1, 3
+    assert out[0]["pack_id"] == 0 and out[0]["n_tokens"] == 3
+    assert out[2]["pack_id"] == 0
+    assert out[4]["pack_id"] == 1
+    assert out[6]["pack_id"] == 3
+    assert all(r["bucket"] == 0 for r in out.values())
