@@ -145,7 +145,21 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError(
             f"truncated PNG pixel data: {len(raw)} < {expected} bytes"
         )
-    total = 0
+    rows = _unfilter_scanlines(raw, height, stride, channels)
+    total = sum(sum(line) for line in rows)
+    n = stride * height
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_byte": int(total // n) if n else None,
+        "ok": True,
+    }
+
+
+def _unfilter_scanlines(raw: bytes, height: int, stride: int, channels: int):
+    """Reverse the five PNG scanline filters → list of raw pixel rows
+    (bytearrays of ``stride`` bytes each)."""
+    rows = []
     prev = bytearray(stride)
     p = 0
     for _ in range(height):
@@ -172,15 +186,113 @@ def _decode_png(payload: bytes) -> dict:
                 pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pr) & 0xFF
-        total += sum(line)
+        rows.append(line)
         prev = line
-    n = stride * height
-    return {
-        "width": int(width),
-        "height": int(height),
-        "mean_byte": int(total // n) if n else None,
-        "ok": True,
-    }
+    return rows
+
+
+def _encode_png(rows, width: int, height: int, channels: int) -> bytes:
+    """Minimal PNG encoder: 8-bit, filter 0 per scanline, one IDAT."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for line in rows:
+        raw.append(0)
+        raw += line
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png_bytes(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real PNG resize: decode (chunk walk + unfilter) → nearest-
+    neighbor sample with numpy → re-encode (filter 0). Supports the
+    same 8-bit non-interlaced subset as ``_decode_png``; raises
+    ValueError otherwise (callers contain per record)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    width = height = bit_depth = color_type = interlace = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if width is None or bit_depth != 8 or channels is None or interlace != 0:
+        raise ValueError("unsupported PNG variant for resize")
+    stride = width * channels
+    expected = (stride + 1) * height
+    if expected > MAX_PNG_RAW_BYTES:
+        raise ValueError("image too large to resize in-worker")
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected)
+    if len(raw) < expected:
+        raise ValueError("truncated PNG pixel data")
+    rows = _unfilter_scanlines(raw, height, stride, channels)
+    px = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    yi = (np.arange(target_h) * height) // target_h
+    xi = (np.arange(target_w) * width) // target_w
+    out = px[yi][:, xi]  # nearest-neighbor
+    out_rows = [bytearray(out[y].tobytes()) for y in range(target_h)]
+    return _encode_png(out_rows, target_w, target_h, channels)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Real distributed resize for PNG payloads: mapInPandas over
+    (media_id, payload) → (media_id, payload resized-PNG, ok). Non-PNG
+    / corrupt payloads yield ok=False with a NULL payload (per-record
+    containment, as everywhere in this module)."""
+    import pandas as pd
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    out = resize_png_bytes(
+                        bytes(payload) if payload is not None else b"",
+                        target_w,
+                        target_h,
+                    )
+                    rows.append({"media_id": mid, "payload": out, "ok": True})
+                except Exception:
+                    rows.append({"media_id": mid, "payload": None, "ok": False})
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _resize, schema="media_id long, payload binary, ok boolean"
+    )
 
 
 def fake_image_bytes(width: int, height: int, mean_byte: int) -> bytes:
@@ -513,9 +625,9 @@ def decode_images(df: DataFrame) -> DataFrame:
 
 
 def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: metadata-only transform on the fake container
-    (the real kernel would rewrite payload bytes inside the same
-    mapInPandas shape)."""
+    """Metadata-only resize for the FAKEIMG container — kept for the
+    no-pixel-payload path; PNG payloads have the REAL kernel
+    (``resize_images``: decode → nearest-neighbor → re-encode)."""
     decoded = decode_images(df)
     return decoded.where("ok").select(
         "media_id",

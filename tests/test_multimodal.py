@@ -257,3 +257,40 @@ def test_decode_video_spark_path(spark):
     out = {r["media_id"]: r for r in decode_video(df).collect()}
     assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (320, 240)
     assert out[2]["ok"] is False and out[3]["ok"] is False
+
+
+def test_resize_png_real_roundtrip():
+    """Resize is a REAL kernel now: decode → nearest-neighbor → re-
+    encode; output decodes to the target dims and exact sampled
+    pixels."""
+    from contessa_spark.operators.multimodal import resize_png_bytes
+
+    rng = np.random.RandomState(21)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    payload = _png_encode(px, 2, filters=[0, 1, 2, 3, 4])
+    out = resize_png_bytes(payload, 3, 4)
+    d = decode_image_bytes(out)
+    assert d["ok"] and (d["width"], d["height"]) == (3, 4)
+    # exact nearest-neighbor expectation
+    yi = (np.arange(4) * 8) // 4
+    xi = (np.arange(3) * 6) // 3
+    expect = px[yi][:, xi]
+    assert d["mean_byte"] == int(expect.astype(np.int64).sum() // expect.size)
+
+    with pytest.raises(ValueError):
+        resize_png_bytes(b"not png", 2, 2)
+
+
+def test_resize_images_spark_path(spark):
+    from contessa_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(22)
+    good = _png_encode(rng.randint(0, 256, size=(10, 10, 3), dtype=np.uint8), 2, filters=[0])
+    rows = [(1, bytes(good)), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert out[1]["ok"]
+    d = decode_image_bytes(bytes(out[1]["payload"]))
+    assert (d["width"], d["height"]) == (4, 4)
+    assert out[2]["ok"] is False and out[2]["payload"] is None
+    assert out[3]["ok"] is False
