@@ -444,6 +444,7 @@ def _embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=2,
         n_tables=8,
         max_df=2000,
+        dim=16,
     )
 
 
@@ -452,7 +453,9 @@ def _ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries_df, k=5)
+    # dim=16: the embeddings tables declare a fixed dimension — passing
+    # it skips the dim-inference job (a whole extra scan kickoff)
+    return brute_force_topk(emb, queries_df, k=5, dim=16)
 
 
 def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,7 +473,9 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 10)
     # train_fraction: quantizer trains on a deterministic hash-sampled
     # half — at 10^9 vectors the Lloyd scans touch the sample only
-    return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=3, train_fraction=0.5)
+    return ivf_topk(
+        emb, queries_df, k=5, n_cells=8, n_probe=3, train_fraction=0.5, dim=16
+    )
 
 
 def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

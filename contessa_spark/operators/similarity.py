@@ -73,10 +73,16 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the query side, rank per query.
     Output: (query_id, neighbor_id, cosine, rank). Ties break on
-    neighbor_id for determinism."""
+    neighbor_id for determinism.
+
+    Pass ``dim`` when known (embedding tables have a fixed declared
+    dimension): inferring it costs a whole extra Spark job
+    (``first()``) — measured ~half the cold per-call wall on small
+    scans, and at 10^9 rows a needless scan kickoff."""
     from contessa_spark.operators.dedup import dot_fixed, norm_fixed
 
     corpus = df.select(
@@ -87,7 +93,8 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
-    dim = corpus.select(F.size("_cv")).first()[0]
+    if dim is None:
+        dim = corpus.select(F.size("_cv")).first()[0]
     # norms once per row (not per pair); dot as codegen-friendly
     # expanded terms — higher-order lambdas stay interpreted
     corpus = corpus.withColumn("_cn", norm_fixed(F.col("_cv"), dim))
@@ -280,6 +287,7 @@ def hyperplane_lsh_join(
     seed: int = 42,
     max_df: Optional[int] = None,
     observation=None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via LSH pre-bucketing — the 10⁹-vector
     path that ``embedding_near_dups`` (exact all-pairs) cannot walk.
@@ -304,12 +312,13 @@ def hyperplane_lsh_join(
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    first = base.select(F.size("_v")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
-        )
-    dim = first[0]
+    if dim is None:
+        first = base.select(F.size("_v")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = first[0]
 
     ent = []
     for t in range(n_tables):
@@ -390,6 +399,7 @@ def ivf_topk(
     seed: int = 42,
     train_iters: int = 3,
     train_fraction: Optional[float] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """IVF-flat ANN: spherical-k-means pivots (deterministic hash init
     + Lloyd refinement — see ``_train_ivf_pivots``), every vector
@@ -405,12 +415,13 @@ def ivf_topk(
     from contessa_spark.operators.dedup import dot_fixed, norm_fixed
 
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    first = corpus.select(F.size("_cv")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
-    dim = first[0]
+    if dim is None:
+        first = corpus.select(F.size("_cv")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rank int"
+            )
+        dim = first[0]
     pivots = _train_ivf_pivots(
         corpus, "_cv", dim, n_cells, seed, train_iters, train_fraction
     )
