@@ -444,7 +444,7 @@ def _embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=2,
         n_tables=8,
         max_df=2000,
-        dim=16,
+        dim=64,
     )
 
 
@@ -453,9 +453,9 @@ def _ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    # dim=16: the embeddings tables declare a fixed dimension — passing
+    # dim=64: the embeddings tables declare a fixed dimension — passing
     # it skips the dim-inference job (a whole extra scan kickoff)
-    return brute_force_topk(emb, queries_df, k=5, dim=16)
+    return brute_force_topk(emb, queries_df, k=5, dim=64)
 
 
 def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,7 +463,12 @@ def _ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    return hyperplane_lsh_topk(emb, queries_df, k=5, dim=16, n_bits=6, n_tables=6)
+    # 64-dim vectors (all sf testdata tables); near-uniform corpus needs
+    # FEW bits + several tables for top-k recall (p^3 per table at the
+    # rank-5 cosine ~0.3-0.5, 10 tables -> ~0.9)
+    return hyperplane_lsh_topk(
+        emb, queries_df, k=5, dim=64, n_bits=3, n_tables=10
+    )
 
 
 def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,7 +479,7 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train_fraction: quantizer trains on a deterministic hash-sampled
     # half — at 10^9 vectors the Lloyd scans touch the sample only
     return ivf_topk(
-        emb, queries_df, k=5, n_cells=8, n_probe=3, train_fraction=0.5, dim=16
+        emb, queries_df, k=5, n_cells=8, n_probe=3, train_fraction=0.5, dim=64
     )
 
 

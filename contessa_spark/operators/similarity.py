@@ -129,16 +129,29 @@ def hyperplane_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 16,
+    dim: Optional[int] = None,
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: per-table sign-bucket join, union of candidates,
     exact re-rank. Recall < 1 by design; the bucket join shuffles
-    (table, bucket) keys instead of forming Q×N pairs."""
+    (table, bucket) keys instead of forming Q×N pairs.
+
+    ``dim`` MUST equal the true vector dimension (inferred via one
+    ``first()`` job when omitted): hyperplanes shorter than the vector
+    would make ``zip_with`` pad with NULLs, nulling every plane dot
+    and collapsing ALL rows into bucket 0 — a silent degeneration to a
+    full scan (found by the oracle gate; hence inference-by-default)."""
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    if dim is None:
+        first = corpus.select(F.size("_cv")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rank int"
+            )
+        dim = first[0]
 
     c_ent = []
     q_ent = []

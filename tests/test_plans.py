@@ -133,16 +133,36 @@ def test_consistency_diff_uses_distributed_set_ops(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):
-    """Hyperplane-LSH top-k recall ≥ 0.8 vs exact at these settings."""
+    """Hyperplane-LSH top-k recall ≥ 0.8 vs exact at these settings —
+    AND the bucketing must be real: the r1-r2 form passed dim=16
+    against 64-dim vectors, which nulls every plane dot (zip_with NULL
+    padding) and collapses all rows into one bucket, i.e. a full scan
+    wearing an LSH costume. dim is inferred now; the distribution
+    assert pins non-degeneracy."""
     from pyspark.sql import functions as F
 
     from contessa_spark.operators.similarity import (
+        _hyperplanes,
         brute_force_topk,
         hyperplane_lsh_topk,
+        signature_col,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 20)
+
+    # signatures must actually spread the corpus (>= 2^(n_bits-1)
+    # distinct buckets on 500 near-uniform vectors)
+    planes = _hyperplanes(64, 3, 42)
+    n_buckets = (
+        emb.select(
+            signature_col(F.col("embedding").cast("array<double>"), planes).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 4, n_buckets
+
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_topk(emb, q, k=5).collect()
@@ -150,7 +170,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in hyperplane_lsh_topk(
-            emb, q, k=5, dim=16, n_bits=6, n_tables=6
+            emb, q, k=5, n_bits=3, n_tables=10
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
