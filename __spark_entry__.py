@@ -483,6 +483,30 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5-lite star join: fact lineitem joins the supplier →
+    # nation dimension chain. Both dims are tiny → explicit broadcast,
+    # so the fact table never shuffles for the join; the groupBy
+    # partial-aggregates map-side. Filter on l_shipdate pushes to the
+    # parquet scan.
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    sup = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
 def _events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     return (
@@ -673,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
+        "revenue_by_nation": _revenue_by_nation,
         "events_hourly_rollup": _events_hourly_rollup,
         "events_sessions": _events_sessions,
         "events_type_counts_salted": _events_type_counts_salted,
@@ -1049,6 +1074,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, cosine, rank FROM ("
             " SELECT *, row_number() OVER (PARTITION BY query_id "
             "  ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank FROM s) WHERE rank <= 5"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, count(*)::BIGINT AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE l_shipdate >= DATE '1995-01-01' GROUP BY n_name"
         ),
         "events_hourly_rollup": (
             "SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS hour_epoch, "
