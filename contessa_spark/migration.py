@@ -36,8 +36,19 @@ MARKER_NAME = "schema_version.json"
 
 
 def _pv(v: str) -> tuple:
-    """Minimal dotted-version parse (no external packaging dep)."""
-    return tuple(int(x) for x in v.split("."))
+    """Minimal dotted-version parse (no external packaging dep).
+    Tolerates non-numeric suffixes the way ``packaging.parse`` would
+    order them coarsely: each component sorts by (leading digits, rest)
+    — so ``0.2.0rc1`` parses instead of crashing and sorts after
+    ``0.2.0`` only via its suffix string (close enough for the
+    closest-≤ fallback walk, which only needs a total order)."""
+    import re
+
+    parts = []
+    for x in v.split("."):
+        m = re.match(r"(\d*)(.*)", x)
+        parts.append((int(m.group(1) or 0), m.group(2)))
+    return tuple(parts)
 
 
 class MigrationsResolver:
@@ -62,10 +73,27 @@ class MigrationsResolver:
         return os.path.exists(self._marker())
 
     def get_applied_migration(self) -> Optional[int]:
+        """The applied schema_version, or None when no marker exists.
+        A marker that EXISTS but lacks a valid integer version is a
+        corrupt control file — raising beats the downstream
+        ``None < target`` TypeError it used to become."""
         if not self.migrations_table_exists():
             return None
         with open(self._marker()) as f:
-            return json.load(f).get("schema_version")
+            try:
+                found = json.load(f).get("schema_version")
+            except ValueError as exc:
+                raise ValueError(
+                    f"corrupt schema-version marker at {self._marker()}: "
+                    f"not valid JSON ({exc})"
+                ) from exc
+        if not isinstance(found, int) or isinstance(found, bool):
+            raise ValueError(
+                f"corrupt schema-version marker at {self._marker()}: "
+                f"schema_version={found!r} is not an integer — restore the "
+                "marker or remove it to re-stamp via migrate()"
+            )
+        return found
 
     # -- resolution (same shape as the reference) -------------------
     def get_fallback_version(self) -> str:

@@ -518,6 +518,7 @@ def minhash_lsh_candidates(
     max_df: Optional[int] = None,
     observation=None,
     verify_semi_join: bool = False,
+    cleanup: Optional[list] = None,
 ) -> DataFrame:
     """MinHash → band → bucket-group → exact-Jaccard verify.
 
@@ -551,6 +552,17 @@ def minhash_lsh_candidates(
     shuffles only candidate signatures; leave False when candidate
     coverage is near the corpus (small corpora), where the semi-join
     is pure overhead.
+
+    PERSIST LIFETIME: the signature table (and, under
+    ``verify_semi_join``, the candidate pairs) is ``persist()``-ed
+    because two downstream branches consume it — and it stays cached
+    until the returned DataFrame is garbage-collected or the session's
+    ContextCleaner reclaims it. The ``hs`` column (~1k longs/doc) makes
+    it the largest intermediate of the job, so callers that invoke this
+    repeatedly in one session should pass ``cleanup=[]``: every
+    persisted frame is appended to it, and after the result has been
+    fully consumed (collected/written) call ``df.unpersist()`` on each
+    to release the blocks deterministically.
     """
     import pandas as pd
 
@@ -565,6 +577,8 @@ def minhash_lsh_candidates(
         .select("_id", F.col("_s.keys").alias("_keys"), F.col("_s.hs").alias("_hs"))
         .persist()
     )
+    if cleanup is not None:
+        cleanup.append(sig)
     band_entries = sig.select("_id", F.explode("_keys").alias("key"))
 
     groups = (
@@ -609,6 +623,8 @@ def minhash_lsh_candidates(
         # cand feeds the id-set AND the verify join below — persist so
         # the band-group subtree doesn't execute twice
         cand = cand.persist()
+        if cleanup is not None:
+            cleanup.append(cand)
         cand_ids = (
             cand.select(F.col("id_a").alias("_id"))
             .unionByName(cand.select(F.col("id_b").alias("_id")))
@@ -817,15 +833,32 @@ def dedup_components(
     tiny next to the corpus — edges ≪ docs after capping); rounds
     needed = graph diameter ≤ log for typical dup clusters, hard-capped
     at ``max_iters``. Each round's label frame is ``localCheckpoint``ed
-    (eager): iterative DataFrame algorithms MUST truncate lineage every
-    round or the logical plan doubles per iteration and the planner
-    itself OOMs around round ~10 (measured on a 10-node path graph);
-    on a cluster with a checkpoint dir, swap for ``checkpoint()``.
+    (eager): iterative DataFrame algorithms MUST truncate lineage
+    every round or the
+    logical plan doubles per iteration and the planner itself OOMs
+    around round ~10 (measured on a 10-node path graph); on a cluster
+    with a checkpoint dir, swap for ``checkpoint()``.
+
+    Convergence detection costs NO extra job: each round carries the
+    previous label through the aggregate (``min`` over the single
+    non-null ``_old`` per group) and an ``Observation`` counts
+    shrunken labels during the same action that materializes the
+    checkpoint — one Spark job per round, not join+count on top.
+
+    Exceeding ``max_iters`` without a fixpoint RAISES: a silently
+    unconverged result would split true components and the derived
+    keep-list would retain duplicates. Real near-dup graphs have small
+    diameter; hitting the cap means the cap is too low for the graph —
+    pass a larger ``max_iters``.
 
     ``all_ids`` (optional, e.g. ``df.select("doc_id")``): include
     singleton docs (no near-dup) as their own component; otherwise only
     ids appearing in some pair are returned.
     """
+    from pyspark.sql import Observation
+
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
     # undirected edge list, both directions (propagation is symmetric)
     e = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -840,29 +873,45 @@ def dedup_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iters):
-        # candidate labels: own + the label of every neighbor
-        neighbor = e.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "lbl")
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)  # truncate lineage per round
-        )
-        # convergence: did any node's label shrink this round?
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("lbl", "old"), "node"
+        # candidate labels: own (tagged with _old=own lbl) + the label
+        # of every neighbor (_old NULL) — min(_old) per group recovers
+        # the previous label with no second join
+        own = labels.withColumn("_old", F.col("lbl"))
+        neighbor = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                "lbl",
+                F.lit(None).cast("long").alias("_old"),
             )
-            .where(F.col("lbl") < F.col("old"))
-            .limit(1)
-            .count()
         )
+        obs = Observation()
+        new_labels = (
+            own.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
+            .observe(
+                obs,
+                F.count(F.when(F.col("lbl") < F.col("_old"), 1)).alias("changed"),
+            )
+            .drop("_old")
+            # eager checkpoint = the round's ONE job; it both truncates
+            # lineage and fires the observation (verified: a lazy
+            # checkpoint's LogicalRDD plan drops the metrics)
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["changed"]
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise ValueError(
+            f"dedup_components did not converge within max_iters={max_iters} "
+            f"({changed} labels still shrinking) — the graph diameter exceeds "
+            "the cap; rerun with a larger max_iters"
+        )
     out = labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("component_id")
     )
@@ -970,22 +1019,31 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     ids: Optional[List[int]] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Cosine ≥ threshold pairs. Brute pair join (id_a < id_b) — the
     exactness baseline; at scale use similarity.hyperplane_lsh_join to
-    bucket first (same verify step)."""
+    bucket first (same verify step).
+
+    Pass ``dim`` when known — inference costs an extra ``first()`` job;
+    a wrong declared value raises per-row (``dim_check``)."""
+    from contessa_spark.operators.similarity import dim_check
+
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
     if ids is not None:
         base = base.where(F.col("_id").isin(ids))
-    # dim from the schema-carrying first row; norms computed ONCE per
-    # row before the pair join (n rows) instead of per pair (n²)
-    first = base.select(F.size("_v")).first()
-    if first is None:
-        return base.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
-        )
-    dim = first[0]
-    normed = base.withColumn("_n", norm_fixed(F.col("_v"), dim))
+    if dim is None:
+        # dim from the schema-carrying first row; norms computed ONCE per
+        # row before the pair join (n rows) instead of per pair (n²)
+        first = base.select(F.size("_v")).first()
+        if first is None:
+            return base.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = first[0]
+    normed = base.where(dim_check(F.col("_v"), dim)).withColumn(
+        "_n", norm_fixed(F.col("_v"), dim)
+    )
     a = normed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na"))
     b = normed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     return (
@@ -997,3 +1055,195 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ------------------------------------------- substring-level exact dedup
+
+def positional_gram_hashes_udf(k: int = 5):
+    """pandas UDF: text → array<long> of FNV-64 word-k-gram hashes, ONE
+    PER POSITION (index i = gram over words[i..i+k-1]; n_words−k+1
+    entries, empty when the doc has < k words). Unlike ``shingles``
+    this keeps duplicates and order — positions are the unit the
+    substring pass flags. Raw case (exact-substring dedup is exact);
+    whitespace split, same (?U)\\s contract as the rest of the engine."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _fnv64 = _make_fnv64_memo()
+
+    def _gh(texts):
+        out = []
+        for t in texts:
+            words = (t if isinstance(t, str) else "").split()
+            n = len(words)
+            if n < k:
+                out.append([])
+                continue
+            hs = np.fromiter(
+                (_fnv64(" ".join(words[i : i + k])) for i in range(n - k + 1)),
+                dtype=np.uint64,
+                count=n - k + 1,
+            )
+            out.append(hs.view(np.int64).tolist())
+        return pd.Series(out)
+
+    _gh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_gh, T.ArrayType(T.LongType()))
+
+
+def _strip_spans_udf(k: int):
+    """pandas UDF: (text, flagged gram starts) → struct(clean_text,
+    n_words, n_removed_words, n_spans). A flagged start p covers words
+    [p, p+k); overlapping/adjacent covers merge into maximal runs
+    (the per-doc maximal-run merge of Lee et al. §4.1); kept words
+    rejoin with single spaces (word-level dedup normalizes whitespace
+    by construction)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _strip(texts, flags):
+        clean, nw, nr, ns = [], [], [], []
+        for t, fl in zip(texts, flags):
+            words = (t if isinstance(t, str) else "").split()
+            n = len(words)
+            if fl is None or len(fl) == 0:
+                clean.append(" ".join(words))
+                nw.append(n)
+                nr.append(0)
+                ns.append(0)
+                continue
+            covered = np.zeros(n, dtype=bool)
+            for p in fl:
+                covered[p : p + k] = True
+            kept = [w for w, c in zip(words, covered) if not c]
+            # span count = runs of covered: rising edges of the mask
+            edges = int(covered[0]) + int(
+                np.count_nonzero(covered[1:] & ~covered[:-1])
+            )
+            clean.append(" ".join(kept))
+            nw.append(n)
+            nr.append(int(covered.sum()))
+            ns.append(edges)
+        return pd.DataFrame(
+            {
+                "clean_text": clean,
+                "n_words": np.asarray(nw, dtype=np.int64),
+                "n_removed_words": np.asarray(nr, dtype=np.int64),
+                "n_spans": np.asarray(ns, dtype=np.int64),
+            }
+        )
+
+    _strip.__annotations__ = {
+        "texts": pd.Series,
+        "flags": pd.Series,
+        "return": pd.DataFrame,
+    }
+    return F.pandas_udf(
+        _strip,
+        T.StructType(
+            [
+                T.StructField("clean_text", T.StringType()),
+                T.StructField("n_words", T.LongType()),
+                T.StructField("n_removed_words", T.LongType()),
+                T.StructField("n_spans", T.LongType()),
+            ]
+        ),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    cleanup: Optional[list] = None,
+) -> DataFrame:
+    """Substring-level EXACT dedup (Lee et al. 2021 "Deduplicating
+    Training Data" §4.1, the RefinedWeb/FineWeb exact-substring stage):
+    every word span of length ≥ k that repeats anywhere in the corpus
+    is removed from all occurrences EXCEPT the globally first one
+    (ordered by (doc_id, position)); the surviving text keeps its word
+    order, whitespace-normalized. The paper's unit is 50 BPE tokens;
+    here the unit is whitespace words and ``k`` is the span threshold.
+
+    Plan — and why it has NO quadratic stage (unlike the pair-emitting
+    near-dup passes, no ``max_df`` cap is needed):
+
+    1. ONE pandas-UDF pass per doc emits the k-gram FNV-64 hash at
+       every word position; posexplode → (id, pos, gh). The narrow
+       exploded frame is persisted — it feeds both the gram-frequency
+       aggregate and the flag join, and re-running the gram UDF twice
+       would double the only Python cost in the plan (pass
+       ``cleanup=[]`` to unpersist deterministically, as in
+       ``minhash_lsh_candidates``).
+    2. Gram stats: groupBy(gh) → (count, min(struct(id, pos))). A
+       COUNT aggregate with map-side partial combine — a gram repeated
+       10⁹ times reduces to one row per map partition before the
+       shuffle, so hot boilerplate grams never concentrate rows (the
+       same shape as ``corpus_line_dedup``); contrast with posting-list
+       collection, which would need capping.
+    3. Flag positions: join grams back on gh (every probe row matches
+       ≤ 1 stats row — linear, AQE skew-join splits hot grams),
+       keep occurrences of count>1 grams that are NOT the global first.
+    4. Per-doc flag lists: groupBy(id) collect_list(pos) — bounded by
+       doc length.
+    5. Rebuild: left-join flags onto the input, one pandas UDF strips
+       the maximal covered runs (a span of length L ≥ k shared with an
+       earlier occurrence has all its L−k+1 gram positions flagged, so
+       the union of [p, p+k) covers exactly the span).
+
+    Output: (id, clean_text, n_words, n_removed_words, n_spans).
+
+    Self-repetition falls out for free: "a b c a b c" at k=3 flags the
+    second "a b c" (its gram's first occurrence is position 0 of the
+    same doc).
+    """
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            positional_gram_hashes_udf(k)(F.col(text_col)).alias("_ghs"),
+        )
+        .select("_id", F.posexplode("_ghs").alias("pos", "gh"))
+        .persist()
+    )
+    if cleanup is not None:
+        cleanup.append(grams)
+
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"),
+        )
+        .where(F.col("_cnt") > 1)
+        .select("gh", "_first")
+    )
+    flagged = (
+        grams.join(dup_grams, "gh")
+        .where(
+            ~(
+                (F.col("_first._id") == F.col("_id"))
+                & (F.col("_first.pos") == F.col("pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+    flags = flagged.groupBy("_id").agg(F.collect_list("pos").alias("_flags"))
+
+    strip = _strip_spans_udf(k)
+    out = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(flags.withColumnRenamed("_id", id_col), id_col, "left")
+        # struct first, fields second — the UDF evaluates exactly once
+        .select(F.col(id_col), strip(F.col(text_col), F.col("_flags")).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.clean_text").alias("clean_text"),
+            F.col("_s.n_words").alias("n_words"),
+            F.col("_s.n_removed_words").alias("n_removed_words"),
+            F.col("_s.n_spans").alias("n_spans"),
+        )
+    )
+    return out

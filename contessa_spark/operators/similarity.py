@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 from contessa_spark.operators.dedup import cosine_sim
 
 
+def dim_check(vec: Column, dim: int) -> Column:
+    """Per-row declared-dim guard as a FILTER predicate: true when the
+    vector's size equals ``dim``, raises otherwise. A wrong declared
+    dim otherwise produces silently-wrong math (truncated dots, NULLed
+    norms via out-of-range ``element_at``, the bucket-collapse
+    degeneration the LSH docstrings document). Use via ``.where(
+    dim_check(col, dim))`` — a predicate evaluates ONCE per row;
+    wrapping the vector column itself in a CASE WHEN would re-embed the
+    branch into every one of the ``dim`` expanded dot terms and blow
+    the generated method past janino's 64 KB limit (measured at
+    dim=64). ``size()`` is O(1) on arrays — no extra Spark job, unlike
+    a ``first()`` check."""
+    return F.when(F.size(vec) == dim, F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"declared dim={dim} but embedding has size "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+
+
 def _splitmix(x: int) -> int:
     x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
     z = x
@@ -95,6 +117,8 @@ def brute_force_topk(
     )
     if dim is None:
         dim = corpus.select(F.size("_cv")).first()[0]
+    corpus = corpus.where(dim_check(F.col("_cv"), dim))
+    queries = queries.where(dim_check(F.col("_qv"), dim))
     # norms once per row (not per pair); dot as codegen-friendly
     # expanded terms — higher-order lambdas stay interpreted
     corpus = corpus.withColumn("_cn", norm_fixed(F.col("_cv"), dim))
@@ -142,7 +166,16 @@ def hyperplane_lsh_topk(
     ``first()`` job when omitted): hyperplanes shorter than the vector
     would make ``zip_with`` pad with NULLs, nulling every plane dot
     and collapsing ALL rows into bucket 0 — a silent degeneration to a
-    full scan (found by the oracle gate; hence inference-by-default)."""
+    full scan (found by the oracle gate; hence inference-by-default).
+    A wrong DECLARED dim now raises per-row (``dim_check``).
+
+    Candidate dedup happens on (query_id, neighbor_id) ID PAIRS ONLY —
+    a table/bucket can pair the same ids up to n_tables times, and
+    carrying the two vectors through that distinct would put
+    ~2·dim·8 bytes/row (~1 KB at dim=64) on the dedup shuffle for no
+    reason. Vectors re-attach afterwards: the corpus side by join, the
+    query side broadcast (a top-k query set is small by construction) —
+    ~16× fewer dedup-shuffle bytes at dim=64."""
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     if dim is None:
@@ -152,6 +185,12 @@ def hyperplane_lsh_topk(
                 [], "query_id long, neighbor_id long, cosine double, rank int"
             )
         dim = first[0]
+    corpus = corpus.withColumn("_cv", F.col("_cv").cast("array<double>")).where(
+        dim_check(F.col("_cv"), dim)
+    )
+    queries = queries.withColumn("_qv", F.col("_qv").cast("array<double>")).where(
+        dim_check(F.col("_qv"), dim)
+    )
 
     c_ent = []
     q_ent = []
@@ -160,17 +199,15 @@ def hyperplane_lsh_topk(
         c_ent.append(
             corpus.select(
                 "neighbor_id",
-                "_cv",
                 F.lit(t).alias("tbl"),
-                signature_col(F.col("_cv").cast("array<double>"), planes).alias("bucket"),
+                signature_col(F.col("_cv"), planes).alias("bucket"),
             )
         )
         q_ent.append(
             queries.select(
                 "query_id",
-                "_qv",
                 F.lit(t).alias("tbl"),
-                signature_col(F.col("_qv").cast("array<double>"), planes).alias("bucket"),
+                signature_col(F.col("_qv"), planes).alias("bucket"),
             )
         )
     c_all = c_ent[0]
@@ -183,15 +220,16 @@ def hyperplane_lsh_topk(
     cand = (
         c_all.join(q_all, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(
-            cosine_sim(F.col("_qv").cast("array<double>"), F.col("_cv").cast("array<double>")),
-            6,
-        ),
+    scored = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -332,6 +370,7 @@ def hyperplane_lsh_join(
                 [], "id_a long, id_b long, cosine double"
             )
         dim = first[0]
+    base = base.where(dim_check(F.col("_v"), dim))
 
     ent = []
     for t in range(n_tables):
@@ -435,6 +474,7 @@ def ivf_topk(
                 [], "query_id long, neighbor_id long, cosine double, rank int"
             )
         dim = first[0]
+    corpus = corpus.where(dim_check(F.col("_cv"), dim))
     pivots = _train_ivf_pivots(
         corpus, "_cv", dim, n_cells, seed, train_iters, train_fraction
     )
@@ -458,7 +498,9 @@ def ivf_topk(
     c_assigned = corpus.withColumn(
         "cell", F.element_at(best_cells(F.col("_cv").cast("array<double>"), 1), 1)
     ).withColumn("_cn", norm_fixed(F.col("_cv").cast("array<double>"), dim))
-    queries = query_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).where(dim_check(F.col("_qv"), dim))
     q_assigned = queries.withColumn(
         "cell", F.explode(best_cells(F.col("_qv").cast("array<double>"), n_probe))
     ).withColumn("_qn", norm_fixed(F.col("_qv").cast("array<double>"), dim))

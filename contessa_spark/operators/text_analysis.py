@@ -82,6 +82,7 @@ def token_topk_per_lang(
     k: int = 10,
     text_col: str = "text",
     lang_col: str = "lang",
+    n_salt: int = 64,
 ) -> DataFrame:
     """Corpus-level token statistics: the k most frequent lowercased
     whitespace tokens per language — the vocabulary summary every
@@ -89,9 +90,15 @@ def token_topk_per_lang(
 
     Plan shape at 100 TB: explode → ONE shuffle on (lang, token) with
     map-side partial counts (hot tokens like 'the' pre-aggregate per
-    partition, so skew never concentrates raw rows), then the window
-    ranks the already-aggregated ~|vocab|×|langs| table — tiny next to
-    the corpus. Ties break on the token for determinism.
+    partition, so skew never concentrates raw rows), then a SALTED
+    two-level top-k over the aggregated vocab: level 1 ranks within
+    (lang, pmod(xxhash64(token), n_salt)) — ~|vocab|/n_salt rows per
+    task — level 2 re-ranks only the ≤ k·n_salt per-bucket survivors.
+    Exact (each (lang, token) row is unique after the groupBy, so the
+    global top-k is a subset of the per-bucket top-ks); no task ever
+    sorts a whole language's distinct-token table, which on web text is
+    10⁸⁺ junk tokens for a major language. Ties break on the token for
+    determinism.
     """
     from pyspark.sql import Window
 
@@ -104,9 +111,18 @@ def token_topk_per_lang(
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    w1 = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    survivors = (
+        counts.withColumn("_salt", F.pmod(F.xxhash64("token"), F.lit(n_salt)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("lang", "token", "n", "rank")
     )

@@ -332,7 +332,15 @@ class QualityFilterPipeline:
         done = set(self.completed_buckets(mode))
         input_fp = self._input_fingerprint(df)
         if cfg.bucket_by == "input_partition":
-            self.check_input_fingerprint(df, resuming=bool(done), fp=input_fp)
+            # "resuming" for the fingerprint guard means completed
+            # buckets exist in EITHER lineage namespace: a validate run
+            # with no validate buckets yet must not refresh the marker
+            # while full-mode checkpoints still reference the old input
+            # (the marker refresh would let a later full resume remap
+            # buckets silently — the exact hazard the guard prevents)
+            other = "validate" if mode == "full" else "full"
+            resuming = bool(done) or bool(self.completed_buckets(other))
+            self.check_input_fingerprint(df, resuming=resuming, fp=input_fp)
         # compact per-row form for lineage (schema v2): every checkpoint
         # row records which input listing/split produced it
         input_fp_str = (

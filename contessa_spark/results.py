@@ -305,6 +305,11 @@ class LocalSmallTableMerge:
         import pandas as pd
 
         existing = cls.read(path)
+        if existing is not None and len(existing) and not len(new_pdf):
+            # nothing to upsert (e.g. a fully-resumed run): the table is
+            # already the merge result — and concatenating an EMPTY
+            # frame is the other half of the pandas all-NA deprecation
+            return existing
         if existing is not None and len(existing):
             mask = ~existing.set_index(key_cols).index.isin(
                 new_pdf.set_index(key_cols).index
@@ -314,11 +319,28 @@ class LocalSmallTableMerge:
             # an empty survivor frame would union columns and resurrect
             # ones the caller dropped (migration downgrades do exactly
             # that) as all-NaN
-            merged = (
-                new_pdf
-                if not len(survivors)
-                else pd.concat([survivors, new_pdf], ignore_index=True)
-            )
+            if not len(survivors):
+                merged = new_pdf
+            else:
+                # pandas 2.x deprecates letting all-NA object columns
+                # defer their dtype to the other frame during concat —
+                # pre-coerce them to the counterpart's dtype so the
+                # merge stays warning-free and future-proof
+                survivors = survivors.copy()
+                new_pdf = new_pdf.copy()
+                for a, b in ((survivors, new_pdf), (new_pdf, survivors)):
+                    for c in a.columns:
+                        if (
+                            c in b.columns
+                            and a[c].dtype == object
+                            and a[c].isna().all()
+                            and b[c].dtype != object
+                        ):
+                            try:
+                                a[c] = a[c].astype(b[c].dtype)
+                            except (TypeError, ValueError):
+                                pass  # e.g. all-NA → int64: leave as object
+                merged = pd.concat([survivors, new_pdf], ignore_index=True)
         else:
             merged = new_pdf
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

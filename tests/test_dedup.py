@@ -393,3 +393,108 @@ def test_corpus_line_dedup_semantics(spark):
     assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
     assert got[3]["clean_text"] == "unique three"
     assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
+
+
+def test_dedup_components_raises_when_unconverged(spark):
+    """Hitting max_iters with labels still shrinking must RAISE —
+    silently returning split components would leave duplicates in the
+    derived keep-list (ADVICE r3)."""
+    import pytest
+
+    from contessa_spark.operators.dedup import dedup_components
+
+    # path graph 0-1-2-...-9: diameter 9, needs more than 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup_components(pairs, max_iters=2)
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup_components(pairs, max_iters=0)
+
+
+def test_embedding_near_dups_declared_dim(spark):
+    """The declared-dim fast path must skip inference yet agree with
+    the inferred path; a WRONG declared dim must raise loudly instead
+    of silently truncating the dot product (ADVICE r3)."""
+    import pytest
+
+    from contessa_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    inferred = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(emb, threshold=0.3).collect()
+    }
+    declared = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dups(emb, threshold=0.3, dim=64).collect()
+    }
+    assert declared == inferred and len(declared) > 0
+
+    with pytest.raises(Exception, match="declared dim=16"):
+        embedding_near_dups(emb, threshold=0.3, dim=16).collect()
+
+
+def test_substring_dedup_semantics(spark):
+    """Lee et al. repeated-span removal at k=3: keep the globally first
+    occurrence, strip every later one; overlapping flags merge into
+    maximal runs; sub-k shared spans survive; self-repetition inside
+    one doc is stripped too."""
+    from contessa_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 is the first occurrence of "x y z w v" — kept whole
+            (1, "a b x y z w v c d"),
+            # doc 2 repeats the 5-word span → all 5 words stripped (one span)
+            (2, "p q x y z w v r"),
+            # doc 3 shares only 2 words ("x y" < k=3) → untouched
+            (3, "m x y n o"),
+            # doc 4: self-repetition "e f g e f g" → second run stripped
+            (4, "e f g e f g"),
+            # doc 5: three separate repeated runs → 3 spans
+            (5, "x y z TWO SEPARATE w v c d MARKER x y z"),
+            # doc 6: shorter than k
+            (6, "one two"),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in substring_dedup(docs, k=3).collect()}
+
+    assert got[1]["clean_text"] == "a b x y z w v c d"
+    assert got[1]["n_removed_words"] == 0 and got[1]["n_spans"] == 0
+
+    assert got[2]["clean_text"] == "p q r"
+    assert got[2]["n_removed_words"] == 5 and got[2]["n_spans"] == 1
+    assert got[2]["n_words"] == 8
+
+    assert got[3]["clean_text"] == "m x y n o"
+
+    assert got[4]["clean_text"] == "e f g"
+    assert got[4]["n_removed_words"] == 3 and got[4]["n_spans"] == 1
+
+    # doc 5: "x y z" (first seen in doc 1's "x y z w v"? NO — doc 1 has
+    # "x y z" at pos 2, which is the global first) and "w v c d" (doc 1
+    # pos 5 "w v c" + pos 6 "v c d" first) → both repeats stripped here
+    assert got[5]["clean_text"] == "TWO SEPARATE MARKER"
+    assert got[5]["n_spans"] == 3  # [x y z], [w v c d], [x y z]
+    assert got[5]["n_removed_words"] == 10
+
+    assert got[6]["clean_text"] == "one two" and got[6]["n_words"] == 2
+    assert got[7]["clean_text"] == "" and got[7]["n_words"] == 0
+
+
+def test_substring_dedup_first_occurrence_is_doc_ordered(spark):
+    """'First' = min (doc_id, pos): the lowest doc id keeps the span
+    even when it appears later in the input order."""
+    from contessa_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(9, "s t u v"), (2, "s t u v")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in substring_dedup(docs, k=3).collect()}
+    assert got[2] == "s t u v"
+    assert got[9] == ""

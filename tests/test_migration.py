@@ -111,3 +111,35 @@ def test_migrate_downgrade_drops_column(spark, tmp_path):
     assert "input_fp" not in pdf.columns
     with open(os.path.join(base, "schema_version.json")) as f:
         assert json.load(f)["schema_version"] == 1
+
+
+def test_corrupt_marker_raises_clearly(tmp_path):
+    """A marker that exists but holds garbage must raise a diagnostic,
+    not a downstream ``None < int`` TypeError (ADVICE r3)."""
+    base = str(tmp_path)
+    marker = os.path.join(base, "schema_version.json")
+    r = MigrationsResolver(MAP, "0.2.0", base)
+
+    with open(marker, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt schema-version marker"):
+        r.get_applied_migration()
+
+    with open(marker, "w") as f:
+        json.dump({"something_else": 1}, f)
+    with pytest.raises(ValueError, match="not an integer"):
+        r.get_migration_to_head()
+
+    with open(marker, "w") as f:
+        json.dump({"schema_version": "two"}, f)
+    with pytest.raises(ValueError, match="not an integer"):
+        r.is_on_head()
+
+
+def test_pv_tolerates_nonnumeric_components(tmp_path):
+    """``0.2.0rc1``-style versions must resolve (packaging.parse
+    parity in spirit), not crash the fallback walk."""
+    r = MigrationsResolver(MAP, "0.2.0rc1", str(tmp_path))
+    assert r.get_fallback_version() == "0.2.0"
+    r2 = MigrationsResolver(MAP, "0.3.0-dev", str(tmp_path))
+    assert r2.get_fallback_version() == "0.2.0"

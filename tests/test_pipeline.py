@@ -280,3 +280,27 @@ def test_input_fingerprint_guard_refuses_remapped_resume(spark, web_df, tmp_path
     # a FRESH base (no completed buckets) accepts any input
     pipe2 = QualityFilterPipeline(spark, str(tmp_path / "run2"), cfg)
     pipe2.run(spark.read.parquet(src3), task_ts=TASK_TS)
+
+
+def test_validate_mode_respects_full_mode_checkpoints(spark, web_df, tmp_path):
+    """The fingerprint guard must treat completed buckets in EITHER
+    lineage namespace as "resuming": a validate-mode run (no validate
+    buckets yet) against changed input must refuse — not silently
+    refresh the marker and let a later full-mode resume remap buckets
+    (ADVICE r3)."""
+    src6 = str(tmp_path / "src6")
+    web_df.repartition(6).write.parquet(src6)
+    src3 = str(tmp_path / "src3")
+    web_df.repartition(3).write.parquet(src3)
+
+    cfg = PipelineConfig(bucket_by="input_partition")
+    pipe = QualityFilterPipeline(spark, str(tmp_path / "run"), cfg)
+    pipe.run(spark.read.parquet(src6), task_ts=TASK_TS)  # full mode
+
+    with pytest.raises(ValueError, match="input_partition resume refused"):
+        pipe.run(spark.read.parquet(src3), task_ts=TASK_TS, mode="validate")
+
+    # and the marker was NOT refreshed: a full resume on the ORIGINAL
+    # input still works (guard state intact)
+    s = pipe.run(spark.read.parquet(src6), task_ts=TASK_TS)
+    assert s["resumed_buckets_skipped"] > 0

@@ -204,3 +204,32 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
     bench = docs.where(F.col("doc_id") % 50 == 0)
     plan = _plan(ngram_contamination(docs, bench, n=3))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_topk_candidate_dedup_carries_ids_only(spark):
+    """The candidate-dedup shuffle must move (query_id, neighbor_id)
+    id pairs only — carrying the two dim=64 vectors through the
+    distinct puts ~1 KB/row on that exchange for nothing (r3 verdict
+    'What's wrong #1'). Vectors re-attach by join AFTER the dedup."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    plan = _plan(hyperplane_lsh_topk(emb, q, k=5, n_bits=3, n_tables=4, dim=64))
+
+    # no Exchange (shuffle) row may carry a vector column
+    for line in plan.splitlines():
+        if re.search(r"\bExchange\b", line):
+            assert "_qv" not in line and "_cv" not in line, line
+    # and the dedup aggregate itself keys on the two ids only
+    dedup_keys = re.findall(
+        r"HashAggregate\(keys=\[([^\]]*)\]", plan
+    )
+    assert any(
+        "query_id" in k and "neighbor_id" in k and "_qv" not in k and "_cv" not in k
+        for k in dedup_keys
+    ), dedup_keys

@@ -195,3 +195,26 @@ def test_pack_documents_semantics(spark):
     assert out[4]["pack_id"] == 1
     assert out[6]["pack_id"] == 3
     assert all(r["bucket"] == 0 for r in out.values())
+
+
+def test_token_topk_salting_invariant(spark):
+    """The salted two-level top-k must be EXACT: results identical for
+    any n_salt (each (lang, token) row is unique after the count
+    aggregate, so per-bucket top-k ⊇ global top-k)."""
+    docs = spark.createDataFrame(
+        [
+            (i, "en", f"w{i % 7} common common w{i % 5}")
+            for i in range(40)
+        ] + [(100, "fr", "le la le un")],
+        "doc_id long, lang string, text string",
+    )
+    base = {
+        (r["lang"], r["rank"], r["token"], r["n"])
+        for r in token_topk_per_lang(docs, k=3, n_salt=1).collect()
+    }
+    for n_salt in (2, 8, 64):
+        got = {
+            (r["lang"], r["rank"], r["token"], r["n"])
+            for r in token_topk_per_lang(docs, k=3, n_salt=n_salt).collect()
+        }
+        assert got == base, n_salt
