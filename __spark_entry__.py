@@ -73,6 +73,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a UDF-heavy input up to the session's
+    parallelism when the scan yields fewer splits. A pandas-UDF stage
+    inherits the scan partitioning, and the small-SF documents table is
+    ONE ~20 MB parquet split — without this the entire Python stage of
+    a dedup query serializes onto one core (measured: the whole 2 s
+    shingle pass of dedup_ngram_jaccard at sf0.1 ran as a single task).
+    At production scale input splits ≫ cores and this no-ops; the
+    repartition itself moves one small file's bytes once."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -369,14 +384,14 @@ def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold (operator default)
     from contessa_spark.operators.dedup import substring_dedup
 
-    return substring_dedup(_load(spark, sf_dir, "documents"), k=3)
+    return substring_dedup(_spread(_load(spark, sf_dir, "documents"), spark), k=3)
 
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), k=3, threshold=0.1
+        _spread(_load(spark, sf_dir, "documents"), spark), k=3, threshold=0.1
     )
 
 
@@ -388,7 +403,7 @@ def _dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), k=3, threshold=0.1, max_df=30
+        _spread(_load(spark, sf_dir, "documents"), spark), k=3, threshold=0.1, max_df=30
     )
 
 
@@ -410,7 +425,7 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import dedup_components, ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+    pairs = ngram_jaccard_pairs(_spread(docs, spark), k=3, threshold=0.1)
     return dedup_components(pairs, all_ids=docs.select("doc_id"))
 
 
@@ -418,7 +433,8 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _load(spark, sf_dir, "documents"), k=3, n_hashes=32, bands=16, threshold=0.1
+        _spread(_load(spark, sf_dir, "documents"), spark),
+        k=3, n_hashes=32, bands=16, threshold=0.1
     )
 
 
@@ -428,7 +444,9 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall gap, now gone); equality to brute force is pytest-gated
     from contessa_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_load(spark, sf_dir, "documents"), max_hamming=7)
+    return simhash_near_dups(
+        _spread(_load(spark, sf_dir, "documents"), spark), max_hamming=7
+    )
 
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -324,6 +324,16 @@ def ngram_jaccard_pairs(
         # g=2000 group); numpy triu indexing + ONE concat per Arrow
         # batch measured 11× faster on the sf0.1 shingle distribution.
         # triu index pairs are cached per group size (sizes repeat).
+        #
+        # Pairs are PARTIALLY COUNTED per Arrow batch before leaving
+        # Python (lexsort + run-length boundaries — all vectorized): a
+        # near-dup pair at threshold 0.1 shares hundreds of shingles,
+        # so its raw emission repeats across the batch's groups, and
+        # every repeat would otherwise cross the Arrow boundary and
+        # feed the JVM hash aggregate as its own row. The downstream
+        # groupBy sums the partial counts — identical `common`, ~an
+        # order of magnitude fewer Python→JVM rows on near-dup-dense
+        # corpora.
         triu = {}
         for pdf in batches:
             ca, cb, cna, cnb = [], [], [], []
@@ -345,25 +355,39 @@ def ngram_jaccard_pairs(
                 cna.append(ns[xi])
                 cnb.append(ns[yi])
             if ca:
+                ia = np.concatenate(ca)
+                ib = np.concatenate(cb)
+                na = np.concatenate(cna)
+                nb = np.concatenate(cnb)
+                order = np.lexsort((ib, ia))
+                ia, ib, na, nb = ia[order], ib[order], na[order], nb[order]
+                new = np.empty(len(ia), dtype=bool)
+                new[0] = True
+                np.logical_or(
+                    ia[1:] != ia[:-1], ib[1:] != ib[:-1], out=new[1:]
+                )
+                idx = np.flatnonzero(new)
+                cnt = np.diff(np.append(idx, len(ia)))
                 yield pd.DataFrame(
                     {
-                        "id_a": np.concatenate(ca),
-                        "id_b": np.concatenate(cb),
-                        "na": np.concatenate(cna),
-                        "nb": np.concatenate(cnb),
+                        "id_a": ia[idx],
+                        "id_b": ib[idx],
+                        "na": na[idx],
+                        "nb": nb[idx],
+                        "cnt": cnt.astype(np.int64),
                     }
                 )
             else:
                 yield pd.DataFrame(
-                    {"id_a": [], "id_b": [], "na": [], "nb": []}
+                    {"id_a": [], "id_b": [], "na": [], "nb": [], "cnt": []}
                 ).astype("int64")
 
     pairs = (
         groups.mapInPandas(
-            emit_pairs, schema="id_a long, id_b long, na int, nb int"
+            emit_pairs, schema="id_a long, id_b long, na int, nb int, cnt long"
         )
         .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(F.sum("cnt").alias("common"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
