@@ -360,6 +360,18 @@ def _url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real trained-BPE token budgets next to the ws baseline. Rows-only
+    # by design: greedy lowest-rank merge application is sequential per
+    # word (no SQL form); training golden + round-trip + partition-
+    # invariance are pytest-gated (tests/test_bpe.py)
+    from contessa_spark.functions.bpe import bpe_token_counts, train_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=128, max_words=5000)
+    return bpe_token_counts(_spread(docs, spark), merges)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import exact_dedup
 
@@ -709,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _doc_length_quantiles,
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
+        "doc_bpe_tokens": _doc_bpe_tokens,
         "dedup_exact": _dedup_exact,
         "url_canonical": _url_canonical,
         "doc_line_dedup": _doc_line_dedup,

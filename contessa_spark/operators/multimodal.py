@@ -53,6 +53,56 @@ _JPEG_SOF_MARKERS = frozenset(
 ) - {0xC4, 0xC8, 0xCC}
 
 
+def _decode_webp(payload: bytes) -> dict:
+    """WebP dims via the public container + bitstream specs, on the
+    same RIFF chunk walk as ``decode_wav_bytes``:
+
+    * ``VP8 `` (lossy): 3-byte frame tag, 3-byte start code 9D 01 2A,
+      then 14-bit width/height in two uint16 LE;
+    * ``VP8L`` (lossless): signature 0x2F, then width−1 and height−1
+      as two 14-bit fields of the next uint32 LE;
+    * ``VP8X`` (extended): 4 flag bytes, then canvas width−1 and
+      height−1 as uint24 LE each.
+
+    No pixel decode (the libwebp swap-in point) — ``mean_byte`` stays
+    None, dims are real."""
+    import struct
+
+    bad = {"width": None, "height": None, "mean_byte": None, "ok": False}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":
+                return bad
+            (w,) = struct.unpack_from("<H", body, 6)
+            (h,) = struct.unpack_from("<H", body, 8)
+            return {
+                "width": w & 0x3FFF,
+                "height": h & 0x3FFF,
+                "mean_byte": None,
+                "ok": True,
+            }
+        if cid == b"VP8L" and len(body) >= 5:
+            if body[0] != 0x2F:
+                return bad
+            (bits,) = struct.unpack_from("<I", body, 1)
+            return {
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "mean_byte": None,
+                "ok": True,
+            }
+        if cid == b"VP8X" and len(body) >= 10:
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"width": w, "height": h, "mean_byte": None, "ok": True}
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    return bad
+
+
 def _decode_jpeg(payload: bytes) -> dict:
     """JPEG dims via the public-spec marker walk (ITU-T T.81): segments
     are FF <marker> <len16 incl. itself>; the SOFn frame header holds
@@ -315,11 +365,17 @@ def decode_image_bytes(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload.startswith(_JPEG_MAGIC):
         return _decode_jpeg(payload)
+    if (
+        payload.startswith(_RIFF_MAGIC)
+        and len(payload) >= 12
+        and payload[8:12] == b"WEBP"
+    ):
+        return _decode_webp(payload)
     if not payload.startswith(_MAGIC):
         raise NotImplementedError(
-            "only PNG, JPEG (dims) and the deterministic FAKEIMG1 "
-            "container are decodable in this environment (no image "
-            "libraries baked in)"
+            "only PNG, JPEG (dims), WebP (dims) and the deterministic "
+            "FAKEIMG1 container are decodable in this environment (no "
+            "image libraries baked in)"
         )
     w, h, m = struct.unpack_from("<IIB", payload, len(_MAGIC))
     return {"width": w, "height": h, "mean_byte": m, "ok": True}

@@ -328,6 +328,7 @@ def pack_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_col: Column = None,
+    n_tokens_col: Column = None,
 ) -> DataFrame:
     """Sequence packing for training-batch construction: assign each
     doc to a pack of ≈``budget_tokens`` whitespace tokens.
@@ -347,12 +348,21 @@ def pack_documents(
     ``bucket_col`` overrides the default ``pmod(xxhash64(id), n)``
     bucketing (e.g. an engine-portable ``id % n`` for external
     cross-checks, or a curriculum/domain key).
+
+    ``n_tokens_col`` overrides the whitespace token counter — pass
+    ``functions.bpe.bpe_token_count_udf(merges)(col)`` so pack budgets
+    match a TRAINED subword vocabulary instead of the ws
+    approximation.
     """
     from pyspark.sql import Window
 
-    toks = F.size(
-        F.filter(F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != F.lit(""))
-    ).cast("long")
+    toks = (
+        n_tokens_col.cast("long")
+        if n_tokens_col is not None
+        else F.size(
+            F.filter(F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != F.lit(""))
+        ).cast("long")
+    )
     if bucket_col is None:
         bucket_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     base = df.select(

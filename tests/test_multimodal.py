@@ -294,3 +294,60 @@ def test_resize_images_spark_path(spark):
     assert (d["width"], d["height"]) == (4, 4)
     assert out[2]["ok"] is False and out[2]["payload"] is None
     assert out[3]["ok"] is False
+
+
+def _riff_webp(chunk_id: bytes, body: bytes) -> bytes:
+    import struct
+
+    inner = b"WEBP" + chunk_id + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        inner += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+
+def test_webp_lossy_dims():
+    import struct
+
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    body = b"\x00\x01\x02" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    got = decode_image_bytes(_riff_webp(b"VP8 ", body))
+    assert (got["width"], got["height"], got["ok"]) == (640, 480, True)
+
+
+def test_webp_lossless_dims():
+    import struct
+
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    w, h = 1023, 257
+    bits = (w - 1) | ((h - 1) << 14)
+    body = b"\x2f" + struct.pack("<I", bits)
+    got = decode_image_bytes(_riff_webp(b"VP8L", body))
+    assert (got["width"], got["height"], got["ok"]) == (w, h, True)
+
+
+def test_webp_extended_canvas_dims():
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    w, h = 16384, 9000  # beyond the 14-bit lossy limit: uint24 canvas
+    body = b"\x00\x00\x00\x00" + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    got = decode_image_bytes(_riff_webp(b"VP8X", body))
+    assert (got["width"], got["height"], got["ok"]) == (w, h, True)
+
+
+def test_webp_malformed_not_ok():
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    # bad VP8 start code
+    body = b"\x00\x01\x02" + b"\xff\xff\xff" + b"\x00\x00\x00\x00"
+    assert decode_image_bytes(_riff_webp(b"VP8 ", body))["ok"] is False
+    # RIFF but not WEBP form falls through to NotImplementedError
+    import pytest
+    import struct
+
+    wav_ish = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(wav_ish)
