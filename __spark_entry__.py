@@ -372,6 +372,35 @@ def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_spread(docs, spark), merges)
 
 
+def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FineWeb-edu/DCLM-style model-based quality scoring, self-
+    # distilled from the heuristic keep rule (the standard bootstrap
+    # when no human/LLM labels exist). Rows-only by design (trained
+    # model); balanced-accuracy + determinism pytest-gated
+    # (tests/test_quality_classifier.py)
+    from contessa_spark.functions.quality_classifier import (
+        classify_quality,
+        train_quality_classifier,
+    )
+    from contessa_spark.functions.textstats import spark_stat_columns
+
+    docs = _load(spark, sf_dir, "documents")
+    ann = docs
+    for name, col in spark_stat_columns("text").items():
+        ann = ann.withColumn(name, col)
+    labeled = ann.withColumn(
+        "keep",
+        (F.col("n_chars") >= 100)
+        & (F.col("symbol_ratio") < 0.15)
+        & (F.col("repetition") < 0.85)
+        & (F.col("stopword_frac") > 0.10),
+    )
+    w = train_quality_classifier(
+        labeled, "keep", sample_fraction=0.5, max_train_docs=2000
+    )
+    return classify_quality(_spread(docs, spark), w)
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import exact_dedup
 
@@ -722,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
         "doc_bpe_tokens": _doc_bpe_tokens,
+        "doc_quality_classifier": _doc_quality_classifier,
         "dedup_exact": _dedup_exact,
         "url_canonical": _url_canonical,
         "doc_line_dedup": _doc_line_dedup,

@@ -53,6 +53,38 @@ _JPEG_SOF_MARKERS = frozenset(
 ) - {0xC4, 0xC8, 0xCC}
 
 
+def _decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a logical-screen dims: two uint16 LE right after the
+    6-byte signature (public spec). No frame decode — dims only."""
+    import struct
+
+    if len(payload) < 10:
+        return {"width": None, "height": None, "mean_byte": None, "ok": False}
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return {"width": int(w), "height": int(h), "mean_byte": None, "ok": True}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """BMP dims from the BITMAPINFOHEADER (int32 LE at offset 18/22;
+    height may be negative for top-down rows — reported as magnitude).
+    The legacy BITMAPCOREHEADER (size 12) uses uint16 fields."""
+    import struct
+
+    bad = {"width": None, "height": None, "mean_byte": None, "ok": False}
+    if len(payload) < 26:
+        return bad
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size == 12:  # BITMAPCOREHEADER
+        w, h = struct.unpack_from("<HH", payload, 18)
+        return {"width": int(w), "height": int(h), "mean_byte": None, "ok": True}
+    if hdr_size < 16 or len(payload) < 26:
+        return bad
+    w, h = struct.unpack_from("<ii", payload, 18)
+    if w <= 0 or h == 0:
+        return bad
+    return {"width": int(w), "height": abs(int(h)), "mean_byte": None, "ok": True}
+
+
 def _decode_webp(payload: bytes) -> dict:
     """WebP dims via the public container + bitstream specs, on the
     same RIFF chunk walk as ``decode_wav_bytes``:
@@ -371,9 +403,13 @@ def decode_image_bytes(payload: bytes) -> dict:
         and payload[8:12] == b"WEBP"
     ):
         return _decode_webp(payload)
+    if payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
+        return _decode_gif(payload)
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
     if not payload.startswith(_MAGIC):
         raise NotImplementedError(
-            "only PNG, JPEG (dims), WebP (dims) and the deterministic "
+            "only PNG, JPEG/WebP/GIF/BMP (dims) and the deterministic "
             "FAKEIMG1 container are decodable in this environment (no "
             "image libraries baked in)"
         )

@@ -498,3 +498,25 @@ def test_substring_dedup_first_occurrence_is_doc_ordered(spark):
     got = {r["doc_id"]: r["clean_text"] for r in substring_dedup(docs, k=3).collect()}
     assert got[2] == "s t u v"
     assert got[9] == ""
+
+
+def test_dedup_components_pointer_jump_log_rounds(spark):
+    """Pointer doubling must collapse a long chain in O(log d) rounds:
+    a 200-node path (diameter 199) converges within 12 rounds with
+    pointer_jump, while plain neighbor propagation needs ~199 and must
+    raise at the same cap."""
+    import pytest
+
+    from contessa_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_components(pairs, max_iters=12).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
+
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup_components(pairs, max_iters=12, pointer_jump=False)

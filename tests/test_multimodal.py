@@ -92,8 +92,9 @@ def test_fake_container_still_decodes():
 
 
 def test_unknown_format_raises():
+    # TIFF is deliberately undecoded (library swap-in point)
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"GIF89a" + b"\x00" * 32)
+        decode_image_bytes(b"II*\x00" + b"\x00" * 32)
 
 
 def test_decode_images_spark_path_with_png(spark):
@@ -351,3 +352,35 @@ def test_webp_malformed_not_ok():
     wav_ish = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
     with pytest.raises(NotImplementedError):
         decode_image_bytes(wav_ish)
+
+
+def test_gif_dims():
+    import struct
+
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    for sig in (b"GIF87a", b"GIF89a"):
+        payload = sig + struct.pack("<HH", 320, 200) + b"\x00\x00"
+        got = decode_image_bytes(payload)
+        assert (got["width"], got["height"], got["ok"]) == (320, 200, True)
+    assert decode_image_bytes(b"GIF89a\x01")["ok"] is False
+
+
+def test_bmp_dims():
+    import struct
+
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    def bmp(hdr_size, w, h, fmt):
+        body = struct.pack("<I", hdr_size) + struct.pack(fmt, w, h)
+        return b"BM" + b"\x00" * 12 + body + b"\x00" * 8
+
+    got = decode_image_bytes(bmp(40, 800, 600, "<ii"))
+    assert (got["width"], got["height"], got["ok"]) == (800, 600, True)
+    # top-down DIB: negative height reported as magnitude
+    got = decode_image_bytes(bmp(40, 800, -600, "<ii"))
+    assert (got["width"], got["height"], got["ok"]) == (800, 600, True)
+    # legacy core header: uint16 fields
+    got = decode_image_bytes(bmp(12, 64, 48, "<HH"))
+    assert (got["width"], got["height"], got["ok"]) == (64, 48, True)
+    assert decode_image_bytes(b"BM\x00\x00")["ok"] is False

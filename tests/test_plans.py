@@ -233,3 +233,24 @@ def test_lsh_topk_candidate_dedup_carries_ids_only(spark):
         "query_id" in k and "neighbor_id" in k and "_qv" not in k and "_cv" not in k
         for k in dedup_keys
     ), dedup_keys
+
+
+def test_token_topk_two_level_plan(spark):
+    """The salted top-k must rank in TWO window levels — level 1
+    partitioned by (lang, salt), level 2 by lang over only the
+    <= k*n_salt per-bucket survivors (a row_number filter sits between
+    them) — so no task ever sorts a whole language's vocabulary."""
+    import re
+
+    from contessa_spark.operators.text_analysis import token_topk_per_lang
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(token_topk_per_lang(docs, k=10, n_salt=64))
+
+    windows = re.findall(r"Window \[.*?windowspecdefinition\(([^)]*)\)", plan)
+    assert len(windows) == 2, plan[:2000]
+    # one window keyed by (lang, _salt), one by lang alone
+    assert any("_salt" in w for w in windows)
+    assert any("_salt" not in w and "lang" in w for w in windows)
+    # the level-1 rank filter bounds the level-2 input
+    assert re.search(r"_r1#\d+ <= 10", plan), "level-1 survivors not filtered"
