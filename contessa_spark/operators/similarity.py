@@ -96,52 +96,102 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: Optional[int] = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
-    """Exact top-k: broadcast the query side, rank per query.
-    Output: (query_id, neighbor_id, cosine, rank). Ties break on
-    neighbor_id for determinism.
+    """Exact cosine top-k via blocked GEMM: the query matrix (a top-k
+    query set is small by definition) is collected once and closed over
+    the scorer UDF — an implicit broadcast — and each corpus Arrow
+    batch computes its full similarity block with ONE numpy float64
+    matmul, emitting only its per-query local top-k. A final window
+    ranks the ≤ batches×k rows per query globally (local top-k per
+    block ⊇ global top-k, so this is exact).
 
-    Pass ``dim`` when known (embedding tables have a fixed declared
-    dimension): inferring it costs a whole extra Spark job
-    (``first()``) — measured ~half the cold per-call wall on small
-    scans, and at 10^9 rows a needless scan kickoff."""
-    from contessa_spark.operators.dedup import dot_fixed, norm_fixed
+    Output: (query_id, neighbor_id, cosine, rank); cosine rounded to
+    6 dp BEFORE ranking (deterministic and engine-agnostic — raw-double
+    ordering can disagree with an external oracle in the last ulp),
+    ties break on neighbor_id.
+
+    Why GEMM and not a codegen pair join: the expression form expands
+    the dot to ``dim`` element_at terms, and at dim=64 the PLANNING +
+    janino compile of that tree costs ~2 s per query execution —
+    dominating any corpus below ~10⁶ rows (measured; the r1-r3 form).
+    The GEMM plan is a dozen nodes, and 25M dots are a handful of BLAS
+    calls instead of 25M interpreted-or-compiled expressions.
+
+    ``max_queries`` guards the driver collect: beyond it, raise —
+    a query set that large should use ``hyperplane_lsh_topk`` or a
+    bucketed join, not all-pairs brute force."""
+    import numpy as np
+    import pandas as pd
 
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    queries = query_df.select(
+    qrows = query_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
-    if dim is None:
-        dim = corpus.select(F.size("_cv")).first()[0]
-    corpus = corpus.where(dim_check(F.col("_cv"), dim))
-    queries = queries.where(dim_check(F.col("_qv"), dim))
-    # norms once per row (not per pair); dot as codegen-friendly
-    # expanded terms — higher-order lambdas stay interpreted
-    corpus = corpus.withColumn("_cn", norm_fixed(F.col("_cv"), dim))
-    queries = queries.withColumn("_qn", norm_fixed(F.col("_qv"), dim))
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            # rank on the ROUNDED score: deterministic and engine-agnostic
-            # (raw-double ordering can disagree with an external oracle
-            # in the last ulp)
-            F.round(
-                dot_fixed(F.col("_qv"), F.col("_cv"), dim)
-                / (F.col("_qn") * F.col("_cn")),
-                6,
-            ),
+    ).take(max_queries + 1)
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk query side exceeds max_queries="
+            f"{max_queries}; use hyperplane_lsh_topk / ivf_topk for "
+            "large query sets"
         )
+    if not qrows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    if dim is not None and Q.shape[1] != dim:
+        raise ValueError(
+            f"declared dim={dim} but query embeddings have size {Q.shape[1]}"
+        )
+    dim = Q.shape[1]
+    Qn = np.linalg.norm(Q, axis=1)
+    corpus = corpus.where(dim_check(F.col("_cv"), dim))
+
+    def score_blocks(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf["_cv"]), dtype=np.float64)
+            Cn = np.linalg.norm(C, axis=1)
+            S = (C @ Q.T) / (Cn[:, None] * Qn[None, :])  # (nc, nq)
+            S = np.round(S, 6)
+            out_q, out_n, out_c = [], [], []
+            kk = min(k, len(ids))
+            for j in range(len(qids)):
+                col = S[:, j]
+                mask = ids != qids[j]  # exclude self
+                cand_ids = ids[mask]
+                cand = col[mask]
+                if not cand.size:
+                    continue
+                # local top-k on (cosine desc, id asc): lexsort keys
+                order = np.lexsort((cand_ids, -cand))[:kk]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_c.append(cand[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    local = corpus.mapInPandas(
+        score_blocks, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -101,13 +101,21 @@ def test_doc_scrub_udf_evaluated_once(spark):
     assert plan.count("ArrowEvalPython") == 1
 
 
-def test_topk_broadcasts_query_side(spark):
+def test_topk_gemm_plan_no_pair_join(spark):
+    """brute_force_topk scores with a closure-broadcast GEMM scorer —
+    the plan must contain the MapInPandas scorer and ONE corpus scan,
+    and NO pair join (the r1-r3 broadcast join + 64-term codegen dot
+    cost ~2 s of planning/janino per execution). The final window only
+    ranks the per-block local top-k."""
     from contessa_spark.operators.similarity import brute_force_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
-    plan = _plan(brute_force_topk(emb, q, k=3))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    plan = _plan(brute_force_topk(emb, q, k=3, dim=64))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
 
 
 def test_exact_dedup_is_semi_join_on_projected_fp(spark):
