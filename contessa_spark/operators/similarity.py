@@ -12,8 +12,15 @@
 * ``ivf_topk`` — IVF-style variant: k-means-free coarse quantizer
   using hash-selected pivot vectors; probes the closest n_probe cells.
 
-At 10^12 rows the bucket join replaces an impossible cross join; all
-distance math is JVM (zip_with/aggregate) — no UDF in the hot path.
+At 10^12 rows the bucket join replaces an impossible cross join.
+Distance/signature math runs as numpy GEMMs inside Arrow-batched
+pandas UDFs (pivot/plane matrices closed over — implicit broadcast):
+the r1-r3 pure-expression forms were exactly as distributed, but at
+dim=64 their expanded/interpreted trees cost seconds-per-call of
+driver-side PLANNING + janino compile (measured ~2 s for one 64-term
+dot, ~30 s for IVF's 16×64 cell scorer) — the plan, not the data, was
+the bottleneck. ``signature_col``/``cosine_sim`` remain as the
+SQL-comparable reference forms.
 """
 
 from __future__ import annotations
@@ -75,7 +82,13 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> List[List[float]]:
 
 def signature_col(vec: Column, planes: List[List[float]]) -> Column:
     """int bucket id: sign bits of plane dot products. Pure JVM —
-    plane vectors are array literals folded by Catalyst."""
+    plane vectors are array literals folded by Catalyst. Reference
+    form (SQL-comparable); the operators use ``bucket_signatures_udf``
+    — same bit rule, one numpy GEMM per Arrow batch, and crucially a
+    SMALL plan node: n_tables × n_bits of these interpreted
+    zip_with/aggregate trees cost seconds of driver-side planning per
+    execution (measured — the same janino/planning tax the
+    brute-force dot expansion paid)."""
     bits = []
     for i, p in enumerate(planes):
         lit = F.array(*[F.lit(float(x)) for x in p])
@@ -87,6 +100,63 @@ def signature_col(vec: Column, planes: List[List[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def bucket_signatures_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """pandas UDF: vector → array<long> of per-table sign-bucket ids
+    (index = table). Same planes and bit rule as ``signature_col``
+    (bit i set iff dot(plane_i, v) ≥ 0; bucket = Σ 1<<i), computed as
+    one (batch × n_tables·n_bits) GEMM."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [
+            _hyperplanes(dim, n_bits, seed + 7919 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    ).reshape(n_tables * n_bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def _buckets(vecs):
+        out = []
+        for chunk in (vecs,):
+            V = np.array(list(chunk), dtype=np.float64)
+            if V.ndim != 2:  # empty batch
+                out.extend([[] for _ in range(len(chunk))])
+                continue
+            bits = (V @ planes.T) >= 0  # (n, n_tables*n_bits)
+            bits = bits.reshape(len(V), n_tables, n_bits)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)
+            out.extend(buckets.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    _buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_buckets, T.ArrayType(T.LongType()))
+
+
+def pair_cosine_udf():
+    """pandas UDF: (vec_a, vec_b) → cosine rounded to 6 dp — one
+    vectorized einsum per Arrow batch. Used for exact re-ranking on
+    candidate pairs: a dim-expanded codegen dot is equally exact but
+    costs ~2 s of planning+janino per execution at dim=64 (measured)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _cos(a, b):
+        A = np.array(list(a), dtype=np.float64)
+        B = np.array(list(b), dtype=np.float64)
+        if A.ndim != 2:
+            return pd.Series(np.zeros(len(a), dtype=np.float64))
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_cos, T.DoubleType())
 
 
 def brute_force_topk(
@@ -213,11 +283,11 @@ def hyperplane_lsh_topk(
     (table, bucket) keys instead of forming Q×N pairs.
 
     ``dim`` MUST equal the true vector dimension (inferred via one
-    ``first()`` job when omitted): hyperplanes shorter than the vector
-    would make ``zip_with`` pad with NULLs, nulling every plane dot
-    and collapsing ALL rows into bucket 0 — a silent degeneration to a
-    full scan (found by the oracle gate; hence inference-by-default).
-    A wrong DECLARED dim now raises per-row (``dim_check``).
+    ``first()`` job when omitted): the hyperplane matrix is built at
+    that size, and the r1 zip_with form silently degenerated ALL rows
+    into bucket 0 on a mismatch (found by the oracle gate; hence
+    inference-by-default). A wrong DECLARED dim now raises per-row
+    (``dim_check``) before any signature math runs.
 
     Candidate dedup happens on (query_id, neighbor_id) ID PAIRS ONLY —
     a table/bucket can pair the same ids up to n_tables times, and
@@ -242,30 +312,13 @@ def hyperplane_lsh_topk(
         dim_check(F.col("_qv"), dim)
     )
 
-    c_ent = []
-    q_ent = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed + 7919 * t)
-        c_ent.append(
-            corpus.select(
-                "neighbor_id",
-                F.lit(t).alias("tbl"),
-                signature_col(F.col("_cv"), planes).alias("bucket"),
-            )
-        )
-        q_ent.append(
-            queries.select(
-                "query_id",
-                F.lit(t).alias("tbl"),
-                signature_col(F.col("_qv"), planes).alias("bucket"),
-            )
-        )
-    c_all = c_ent[0]
-    for e in c_ent[1:]:
-        c_all = c_all.unionByName(e)
-    q_all = q_ent[0]
-    for e in q_ent[1:]:
-        q_all = q_all.unionByName(e)
+    buckets = bucket_signatures_udf(dim, n_bits, n_tables, seed)
+    c_all = corpus.select(
+        "neighbor_id", F.posexplode(buckets(F.col("_cv"))).alias("tbl", "bucket")
+    )
+    q_all = queries.select(
+        "query_id", F.posexplode(buckets(F.col("_qv"))).alias("tbl", "bucket")
+    )
 
     cand = (
         c_all.join(q_all, ["tbl", "bucket"])
@@ -276,10 +329,7 @@ def hyperplane_lsh_topk(
     scored = (
         cand.join(corpus, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
-        .withColumn(
-            "cosine",
-            F.round(cosine_sim(F.col("_qv"), F.col("_cv")), 6),
-        )
+        .withColumn("cosine", pair_cosine_udf()(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -310,20 +360,29 @@ def _train_ivf_pivots(
     seed: int,
     train_iters: int,
     train_fraction: Optional[float],
+    max_train_vectors: int = 100_000,
 ) -> List[List[float]]:
-    """Spherical-k-means coarse quantizer: hash-selected init rows +
-    ``train_iters`` Lloyd iterations (assign to argmax dot, update =
-    renormalized per-cell mean). Each iteration is one scan + one tiny
-    aggregate; at 10^12 rows train on a sample (``train_fraction``) —
-    quantizer quality needs thousands of vectors, not all of them.
+    """Spherical-k-means coarse quantizer, faiss-style: the TRAIN
+    SAMPLE is collected once (hash-threshold predicate + hash-ordered
+    ``max_train_vectors`` cap — layout-stable, bounded driver memory)
+    and ``train_iters`` Lloyd iterations run driver-side in numpy
+    (assign to argmax dot, update = renormalized per-cell mean, empty
+    cells keep their pivot). A quantizer needs thousands of vectors,
+    not the corpus — this is how every production IVF trains.
 
-    The sample is a deterministic hash-threshold predicate (NOT
-    ``df.sample``, whose per-partition RNG changes with the physical
-    partitioning), so pivots are stable across layouts; init is
-    ``orderBy(hash).limit(n)``, which Spark executes as
-    TakeOrderedAndProject — a per-partition n-row heap + driver merge,
-    never a global sort (plan-asserted in tests/test_plans.py)."""
-    import math as _math
+    vs the r1-r3 Spark-side Lloyd loop, this removes (a) one full
+    Spark job per iteration whose plan embedded n_cells × dim
+    expression terms (~30 s of planning/janino per ivf_topk call,
+    measured), and (b) a latent nondeterminism: distributed float
+    SUM order depends on the physical partitioning, so pivot means —
+    and thus cell boundaries — could drift across layouts; the
+    driver-side sum over hash-ordered rows is bit-stable.
+
+    Init rows = the ``n_cells`` lowest-hash sample rows — identical
+    selection to ``_pivot_init_df`` (kept for its plan test: the
+    ordered-limit compiles to TakeOrderedAndProject, never a global
+    sort)."""
+    import numpy as np
 
     train = corpus
     if train_fraction is not None:
@@ -335,47 +394,32 @@ def _train_ivf_pivots(
             )
             < thr
         )
-    init = _pivot_init_df(train, n_cells, seed).collect()
+    rows = (
+        train.withColumn("_h", F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .orderBy("_h", "neighbor_id")  # total order: bit-stable collect
+        .limit(max_train_vectors)
+        .select(vec_df_col)
+        .collect()
+    )
+    if not rows:
+        return []
+    V = np.array([r[vec_df_col] for r in rows], dtype=np.float64)
 
-    def _unit(v):
-        n = _math.sqrt(sum(x * x for x in v)) or 1.0
-        return [float(x) / n for x in v]
+    def _unit_rows(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return M / n
 
-    pivots = [_unit(r[vec_df_col]) for r in init]
-    from contessa_spark.operators.dedup import dot_fixed
-
+    P = _unit_rows(V[: min(n_cells, len(V))].copy())
     for _ in range(train_iters):
-        scores = F.array(
-            *[
-                dot_fixed(
-                    F.col(vec_df_col).cast("array<double>"),
-                    F.array(*[F.lit(x) for x in p]),
-                    dim,
-                )
-                for p in pivots
-            ]
-        )
-        assigned = train.withColumn(
-            "_cell", F.array_position(scores, F.array_max(scores)) - 1
-        )
-        sums = (
-            assigned.groupBy("_cell")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[
-                    F.sum(
-                        F.element_at(F.col(vec_df_col), i + 1).cast("double")
-                    ).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
-        new_pivots = list(pivots)
-        for r in sums:
-            new_pivots[int(r["_cell"])] = _unit([r[f"_s{i}"] for i in range(dim)])
-        pivots = new_pivots  # cells that captured no rows keep their pivot
-    return pivots
+        cell = np.argmax(V @ P.T, axis=1)  # first-max, like the SQL form
+        newP = P.copy()
+        for c in range(len(P)):
+            members = V[cell == c]
+            if len(members):
+                newP[c] = members.sum(axis=0)
+        P = _unit_rows(newP)
+    return [[float(x) for x in p] for p in P]
 
 
 def hyperplane_lsh_join(
@@ -408,7 +452,7 @@ def hyperplane_lsh_join(
     """
     import pandas as pd
 
-    from contessa_spark.operators.dedup import _cap_groups, dot_fixed, norm_fixed
+    from contessa_spark.operators.dedup import _cap_groups
 
     base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -422,19 +466,12 @@ def hyperplane_lsh_join(
         dim = first[0]
     base = base.where(dim_check(F.col("_v"), dim))
 
-    ent = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed + 7919 * t)
-        ent.append(
-            base.select(
-                "_id",
-                F.lit(t).alias("tbl"),
-                signature_col(F.col("_v"), planes).alias("bucket"),
-            )
-        )
-    entries = ent[0]
-    for e in ent[1:]:
-        entries = entries.unionByName(e)
+    entries = base.select(
+        "_id",
+        F.posexplode(
+            bucket_signatures_udf(dim, n_bits, n_tables, seed)(F.col("_v"))
+        ).alias("tbl", "bucket"),
+    )
 
     groups = (
         entries.groupBy("tbl", "bucket")
@@ -471,22 +508,16 @@ def hyperplane_lsh_join(
 
     cand = groups.mapInPandas(emit_pairs, schema="id_a long, id_b long").distinct()
 
-    normed = base.withColumn("_n", norm_fixed(F.col("_v"), dim))
-    a = normed.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
-    )
-    b = normed.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
-    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "cosine",
-            dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
-        )
+        # pair_cosine_udf rounds to 6dp; thresholding the rounded value
+        # keeps the verify decision identical to the reported cosine
+        .withColumn("cosine", pair_cosine_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -503,18 +534,26 @@ def ivf_topk(
     train_fraction: Optional[float] = None,
     dim: Optional[int] = None,
 ) -> DataFrame:
-    """IVF-flat ANN: spherical-k-means pivots (deterministic hash init
-    + Lloyd refinement — see ``_train_ivf_pivots``), every vector
-    assigned to its best cell, queries probe the ``n_probe`` best
-    cells, exact re-rank inside.
+    """IVF-flat ANN: spherical-k-means pivots (deterministic
+    sample-trained quantizer — see ``_train_ivf_pivots``), every
+    vector assigned to its best cell, queries probe the ``n_probe``
+    best cells, exact re-rank inside.
 
-    The pivot set is tiny → broadcast as literals; assignment and
-    re-rank are expanded ``element_at`` dot products that stay inside
-    whole-stage codegen (higher-order array lambdas would not — the
-    same measurement that motivated ``dot_fixed``). Pivots are unit
-    vectors, so argmax-dot ≡ argmax-cosine without per-row norms.
+    The pivot matrix is tiny and lives in the UDF closures (implicit
+    broadcast): assignment/probing is one numpy GEMM per Arrow batch,
+    the re-rank a vectorized ``pair_cosine_udf``. (The r1-r3 form
+    expanded everything to n_cells × dim codegen terms — measured
+    ~30 s of driver-side planning+janino PER CALL at 16×64, dwarfing
+    execution; same lesson as ``brute_force_topk``.) Pivots are unit
+    vectors, so argmax-dot ≡ argmax-cosine without per-row norms; the
+    cell join still shuffles on the cell key — the architecture that
+    survives query sets too large to collect.
+
+    Probe ties break on the LOWER cell id (numpy stable argsort).
     """
-    from contessa_spark.operators.dedup import dot_fixed, norm_fixed
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     if dim is None:
@@ -528,50 +567,39 @@ def ivf_topk(
     pivots = _train_ivf_pivots(
         corpus, "_cv", dim, n_cells, seed, train_iters, train_fraction
     )
-
-    def cell_scores(vec: Column) -> Column:
-        """array of dot-to-unit-pivot, index = cell id (codegen-side)."""
-        return F.array(
-            *[
-                dot_fixed(vec, F.array(*[F.lit(x) for x in p]), dim)
-                for p in pivots
-            ]
+    if not pivots:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
+    P = np.array(pivots, dtype=np.float64)
 
-    def best_cells(vec: Column, n: int) -> Column:
-        scores = cell_scores(vec)
-        idx = F.sequence(F.lit(0), F.lit(len(pivots) - 1))
-        pairs = F.zip_with(scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-        top = F.slice(F.reverse(F.array_sort(pairs)), 1, n)
-        return F.transform(top, lambda st: st["i"])
+    def _probe_udf(n: int):
+        def _cells(vecs):
+            V = np.array(list(vecs), dtype=np.float64)
+            if V.ndim != 2:
+                return pd.Series([[] for _ in range(len(vecs))])
+            S = V @ P.T
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n]
+            return pd.Series(order.astype(np.int32).tolist())
+
+        _cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_cells, T.ArrayType(T.IntegerType()))
 
     c_assigned = corpus.withColumn(
-        "cell", F.element_at(best_cells(F.col("_cv").cast("array<double>"), 1), 1)
-    ).withColumn("_cn", norm_fixed(F.col("_cv").cast("array<double>"), dim))
+        "cell", F.element_at(_probe_udf(1)(F.col("_cv")), 1)
+    )
     queries = query_df.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).where(dim_check(F.col("_qv"), dim))
     q_assigned = queries.withColumn(
-        "cell", F.explode(best_cells(F.col("_qv").cast("array<double>"), n_probe))
-    ).withColumn("_qn", norm_fixed(F.col("_qv").cast("array<double>"), dim))
+        "cell", F.explode(_probe_udf(n_probe)(F.col("_qv")))
+    )
     scored = (
         c_assigned.join(q_assigned, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            # rank on the ROUNDED score: deterministic and engine-agnostic
-            # (raw-double ordering can disagree with an external oracle
-            # in the last ulp)
-            F.round(
-                dot_fixed(
-                    F.col("_qv").cast("array<double>"),
-                    F.col("_cv").cast("array<double>"),
-                    dim,
-                )
-                / (F.col("_qn") * F.col("_cn")),
-                6,
-            ),
-        )
+        # rank on the ROUNDED score: deterministic and engine-agnostic
+        # (raw-double ordering can disagree in the last ulp)
+        .withColumn("cosine", pair_cosine_udf()(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
