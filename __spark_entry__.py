@@ -419,6 +419,19 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_line_dedup(_load(spark, sf_dir, "documents"))
 
 
+def _doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recrawl pass: new batch filtered against a seen corpus (every
+    # 3rd doc stands in for the previous crawl) by content
+    # fingerprint. Exact anti-join path under oracle; the zero-shuffle
+    # bloom path is FPR/no-false-negative pytest-gated
+    # (tests/test_incremental.py)
+    from contessa_spark.operators.incremental import incremental_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 == 0)
+    return incremental_dedup(docs, seen).select("doc_id")
+
+
 def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lee et al. 2021 repeated-span removal; k=3 words so the synthetic
     # corpus actually shares spans — production uses the paper's 50-token
@@ -757,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _doc_line_dedup,
         "corpus_line_dedup": _corpus_line_dedup,
         "doc_substring_dedup": _doc_substring_dedup,
+        "doc_incremental_dedup": _doc_incremental_dedup,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
@@ -1072,6 +1086,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"SELECT min(doc_id) AS doc_id FROM documents "
             f"GROUP BY md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g'))"
+        ),
+        "doc_incremental_dedup": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) NOT IN "
+            f"(SELECT md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
+            f" FROM documents WHERE doc_id % 3 = 0)"
         ),
         "doc_substring_dedup": (
             # Lee et al. repeated-span removal at k=3, keep-first:
