@@ -123,7 +123,9 @@ def train_quality_classifier(
         base = base.where(F.pmod(h, F.lit(1_000_000)) < thr)
     rows = (
         base.withColumn("_h", h)
-        .orderBy("_h")
+        # total order (hash, id): the collected ROW ORDER feeds float
+        # sums, so it must be bit-stable across physical layouts
+        .orderBy("_h", id_col)
         .limit(max_train_docs)
         .select(text_col, "_y")
         .collect()

@@ -1208,6 +1208,7 @@ def substring_dedup(
     text_col: str = "text",
     k: int = 50,
     cleanup: Optional[list] = None,
+    keep_first: bool = True,
 ) -> DataFrame:
     """Substring-level EXACT dedup (Lee et al. 2021 "Deduplicating
     Training Data" §4.1, the RefinedWeb/FineWeb exact-substring stage):
@@ -1248,6 +1249,12 @@ def substring_dedup(
     Self-repetition falls out for free: "a b c a b c" at k=3 flags the
     second "a b c" (its gram's first occurrence is position 0 of the
     same doc).
+
+    ``keep_first=False`` strips EVERY occurrence of a duplicated span
+    (Lee et al. also evaluate this variant — it guarantees no
+    repeated span survives anywhere, at the cost of losing the
+    canonical copy too); the aggregate then needs only the count, not
+    the first-occurrence struct.
     """
     grams = (
         df.select(
@@ -1260,25 +1267,34 @@ def substring_dedup(
     if cleanup is not None:
         cleanup.append(grams)
 
-    dup_grams = (
-        grams.groupBy("gh")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"),
-        )
-        .where(F.col("_cnt") > 1)
-        .select("gh", "_first")
-    )
-    flagged = (
-        grams.join(dup_grams, "gh")
-        .where(
-            ~(
-                (F.col("_first._id") == F.col("_id"))
-                & (F.col("_first.pos") == F.col("pos"))
+    if keep_first:
+        dup_grams = (
+            grams.groupBy("gh")
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"),
             )
+            .where(F.col("_cnt") > 1)
+            .select("gh", "_first")
         )
-        .select("_id", "pos")
-    )
+        flagged = (
+            grams.join(dup_grams, "gh")
+            .where(
+                ~(
+                    (F.col("_first._id") == F.col("_id"))
+                    & (F.col("_first.pos") == F.col("pos"))
+                )
+            )
+            .select("_id", "pos")
+        )
+    else:
+        dup_grams = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .where(F.col("_cnt") > 1)
+            .select("gh")
+        )
+        flagged = grams.join(dup_grams, "gh").select("_id", "pos")
     flags = flagged.groupBy("_id").agg(F.collect_list("pos").alias("_flags"))
 
     strip = _strip_spans_udf(k)

@@ -520,3 +520,40 @@ def test_dedup_components_pointer_jump_log_rounds(spark):
 
     with pytest.raises(ValueError, match="did not converge"):
         dedup_components(pairs, max_iters=12, pointer_jump=False)
+
+
+def test_substring_dedup_drop_all_mode(spark):
+    """keep_first=False strips EVERY occurrence of a duplicated span —
+    no copy survives anywhere."""
+    from contessa_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d KEEP1"), (2, "a b c d KEEP2")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_dedup(docs, k=3, keep_first=False).collect()
+    }
+    assert got == {1: "KEEP1", 2: "KEEP2"}
+
+
+def test_substring_dedup_plan_shape(spark):
+    """The gram-frequency aggregate must partial-combine map-side (hot
+    boilerplate grams reduce per partition before the shuffle) and the
+    scan must prune to (doc_id, text) — no quadratic stage exists in
+    this plan by construction."""
+    import re
+
+    from contessa_spark.operators.dedup import substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        substring_dedup(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan and "partial_count" in plan
+    for rs in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "lang" not in rs and "source" not in rs
