@@ -441,6 +441,16 @@ def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(_spread(_load(spark, sf_dir, "documents"), spark), k=3)
 
 
+def _doc_substring_dedup_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the keep_first=False variant: EVERY occurrence of a duplicated
+    # span is stripped (no canonical copy survives)
+    from contessa_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(
+        _spread(_load(spark, sf_dir, "documents"), spark), k=3, keep_first=False
+    )
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -770,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": _doc_line_dedup,
         "corpus_line_dedup": _corpus_line_dedup,
         "doc_substring_dedup": _doc_substring_dedup,
+        "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
@@ -1108,6 +1119,37 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt, "
             " row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM e), "
             "fl AS (SELECT doc_id, pos FROM f WHERE cnt > 1 AND rn > 1), "
+            "cov AS (SELECT DISTINCT doc_id, cp FROM "
+            " (SELECT doc_id, unnest(range(pos, pos + 3))::BIGINT AS cp FROM fl)), "
+            "cl AS (SELECT doc_id, list(cp ORDER BY cp) AS cps FROM cov GROUP BY doc_id), "
+            "sp AS (SELECT doc_id, count(*) FILTER (WHERE prev IS NULL OR cp - prev > 1)::BIGINT AS n_spans "
+            " FROM (SELECT doc_id, cp, lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) AS prev FROM cov) "
+            " GROUP BY doc_id) "
+            "SELECT w.doc_id, "
+            # array_to_string([]) is NULL in DuckDB, '' on the join side
+            "coalesce(array_to_string([w.ws[i] for i in range(1, len(w.ws) + 1) "
+            " if NOT coalesce(list_contains(cl.cps, i), false)], ' '), '') AS clean_text, "
+            "len(w.ws)::BIGINT AS n_words, "
+            "coalesce(len(cl.cps), 0)::BIGINT AS n_removed_words, "
+            "coalesce(sp.n_spans, 0)::BIGINT AS n_spans "
+            "FROM w LEFT JOIN cl ON w.doc_id = cl.doc_id "
+            "LEFT JOIN sp ON w.doc_id = sp.doc_id"
+        ),
+        "doc_substring_dedup_dropall": (
+            # Lee et al. repeated-span removal at k=3, keep-first:
+            # positional word 3-grams → global (count, first occurrence
+            # by (doc_id, pos)) → non-first occurrences of count>1 grams
+            # flag word positions [pos, pos+3) → maximal covered runs
+            # stripped, kept words rejoin with single spaces
+            f"WITH w AS (SELECT doc_id, "
+            f" list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, ws, [array_to_string(ws[i:i+2], ' ') "
+            " for i in range(1, greatest(len(ws) - 2, 0) + 1)] AS grams FROM w), "
+            "e AS (SELECT doc_id, unnest(range(1, len(grams) + 1))::BIGINT AS pos, "
+            " unnest(grams) AS gram FROM g), "
+            "f AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt, "
+            " row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM e), "
+            "fl AS (SELECT doc_id, pos FROM f WHERE cnt > 1), "
             "cov AS (SELECT DISTINCT doc_id, cp FROM "
             " (SELECT doc_id, unnest(range(pos, pos + 3))::BIGINT AS cp FROM fl)), "
             "cl AS (SELECT doc_id, list(cp ORDER BY cp) AS cps FROM cov GROUP BY doc_id), "
