@@ -419,6 +419,25 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_line_dedup(_load(spark, sf_dir, "documents"))
 
 
+#: target mixture for the doc_mixture_sample query — shared with its
+#: oracle, which recomputes the same per-lang keep fractions in SQL
+MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+
+
+def _doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DoReMi/Pile-style mixture construction: resample so the lang
+    # distribution matches MIX_WEIGHTS in expectation, keeping maximal
+    # data (the binding stratum keeps everything). The oracle recomputes
+    # the data-dependent fractions in SQL with the identical float64
+    # op chain + floor-derived thresholds
+    from contessa_spark.operators.sampling import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return mixture_sample(docs, MIX_WEIGHTS, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
 def _doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recrawl pass: new batch filtered against a seen corpus (every
     # 3rd doc stands in for the previous crawl) by content
@@ -782,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": _doc_substring_dedup,
         "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "doc_incremental_dedup": _doc_incremental_dedup,
+        "doc_mixture_sample": _doc_mixture_sample,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
@@ -1103,6 +1123,21 @@ def oracle_sql() -> dict[str, str]:
             f"md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) NOT IN "
             f"(SELECT md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
             f" FROM documents WHERE doc_id % 3 = 0)"
+        ),
+        "doc_mixture_sample": (
+            "WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents GROUP BY lang), "
+            "r AS (SELECT lang, (CASE lang "
+            + " ".join(
+                f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS.items())
+            )
+            + " ELSE 0.0 END) / cnt AS rate FROM c), "
+            "m AS (SELECT max(rate) AS mx FROM r), "
+            "t AS (SELECT lang, CASE WHEN mx <= 0 THEN '000000' "
+            " WHEN rate / mx >= 1.0 THEN 'gggggg' "
+            " ELSE lower(lpad(to_hex(CAST(floor(rate / mx * 16777216.0) AS BIGINT)), 6, '0')) END AS thr "
+            " FROM r, m) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang) "
+            "WHERE substring(md5(concat_ws('|', 'mix', d.doc_id)), 1, 6) < t.thr"
         ),
         "doc_substring_dedup": (
             # Lee et al. repeated-span removal at k=3, keep-first:

@@ -75,3 +75,74 @@ def hash_sample_sql_predicate(
         f"substring(md5(concat_ws('|', '{salt}', {keys})), 1, 6) "
         f"< '{_threshold_hex(fraction)}'"
     )
+
+
+# ------------------------------------------------------- mixture sampling
+
+def _threshold_hex_floor(fraction: float) -> str:
+    """Like ``_threshold_hex`` but FLOOR-derived: mixture fractions are
+    computed from data-dependent counts on BOTH the Spark side and the
+    SQL oracle, and ``floor`` is the rounding whose semantics are
+    identical everywhere (Python ``round`` is banker's, SQL round is
+    half-away — an off-by-one threshold would flip boundary rows)."""
+    import math
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "gggggg"
+    return format(int(math.floor(fraction * 16**6)), "06x")
+
+
+def mixture_fractions(
+    counts: Dict[str, int], weights: Dict[str, float]
+) -> Dict[str, float]:
+    """Target mixture proportions → per-stratum KEEP fractions that
+    (a) hit the target ratios exactly in expectation and (b) keep the
+    maximum possible data without replacement: the stratum with the
+    highest weight-to-availability rate keeps everything (fraction 1)
+    and binds the rest — ``frac_s = (w_s/n_s) / max_t(w_t/n_t)``
+    (the standard mixture construction in DoReMi/Pile-style data
+    recipes). Strata without a weight are dropped (fraction 0)."""
+    rates = {
+        s: (weights.get(s, 0.0) / c if c else 0.0) for s, c in counts.items()
+    }
+    mx = max(rates.values(), default=0.0)
+    if mx <= 0:
+        return {s: 0.0 for s in counts}
+    return {s: r / mx for s, r in rates.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: Dict[str, float],
+    strata_col: str = "lang",
+    key_cols: Optional[List[str]] = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture construction: resample ``df`` so the
+    ``strata_col`` distribution matches ``weights`` in expectation,
+    keeping the maximum data (no replacement, no duplication).
+
+    One tiny count aggregate (map-side combined) fixes the per-stratum
+    fractions driver-side; the filter itself is the shared pure-JVM
+    hash predicate (``sample_hash_col`` < per-stratum threshold CASE)
+    — no shuffle, pushdown-friendly, identical row set on every
+    engine/layout. The division chain uses plain float64 ops in a
+    fixed order so a SQL oracle recomputing the same fractions lands
+    on bit-identical thresholds (see ``_threshold_hex_floor``)."""
+    key_cols = list(key_cols or ["doc_id"])
+    counts = {
+        r[strata_col]: r["_n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    fracs = mixture_fractions(counts, weights)
+    h = sample_hash_col(key_cols, salt)
+    thr = F.lit("000000")  # unknown / zero-weight strata: drop
+    for value, frac in sorted(fracs.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex_floor(frac))
+        ).otherwise(thr)
+    return df.where(h < thr)

@@ -75,3 +75,40 @@ def test_threshold_hex_bounds(spark):
     df = spark.range(100).select(F.col("id").alias("doc_id"))
     assert hash_sample(df, 1.0, ["doc_id"]).count() == 100
     assert hash_sample(df, 0.0, ["doc_id"]).count() == 0
+
+
+def test_mixture_fractions_math():
+    from contessa_spark.operators.sampling import mixture_fractions
+
+    # en is abundant, it is scarce relative to its weight -> it binds
+    counts = {"en": 1000, "it": 10}
+    weights = {"en": 0.5, "it": 0.5}
+    fr = mixture_fractions(counts, weights)
+    assert fr["it"] == 1.0
+    assert abs(fr["en"] - 10 / 1000) < 1e-12  # 0.5/1000 vs 0.5/10
+    # unweighted strata drop; degenerate all-zero weights drop all
+    assert mixture_fractions({"a": 5}, {})["a"] == 0.0
+
+
+def test_mixture_sample_distribution_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    weights = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+    out = mixture_sample(docs, weights, strata_col="lang")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    assert total > 0
+    for lang, w in weights.items():
+        # hash sampling is binomial: allow generous relative slack
+        assert abs(got.get(lang, 0) / total - w) < 0.05, (lang, got, total)
+
+    # layout independence: identical row set after repartition
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(docs.repartition(7), weights).select("doc_id").collect()
+    )
+    assert ids1 == ids2
