@@ -152,3 +152,105 @@ def test_jpeg_marker_walk_never_raises(b):
 
     d = _decode_jpeg(b"\xff\xd8\xff" + b)
     assert d["ok"] in (True, False)
+
+
+# ---------------------------------------------------------------- r4 cores
+
+_word_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(st.dictionaries(_word_st, st.integers(min_value=1, max_value=50),
+                       min_size=1, max_size=20),
+       st.integers(min_value=0, max_value=40))
+@settings(max_examples=60, deadline=None)
+def test_bpe_roundtrip_any_vocab(word_counts, n_merges):
+    """decode(encode(w)) == w for EVERY word under ANY trained merge
+    table — including words never seen in training."""
+    from contessa_spark.functions.bpe import (
+        decode_tokens,
+        encode_word,
+        train_bpe_from_counts,
+    )
+
+    merges = train_bpe_from_counts(word_counts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in list(word_counts) + ["unseen", "xyzzy", ""]:
+        assert decode_tokens(encode_word(w, ranks)) == w
+
+
+@given(st.dictionaries(_word_st, st.integers(min_value=1, max_value=50),
+                       min_size=1, max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_bpe_training_order_independent(word_counts):
+    from contessa_spark.functions.bpe import train_bpe_from_counts
+
+    a = train_bpe_from_counts(word_counts, 30)
+    b = train_bpe_from_counts(dict(reversed(list(word_counts.items()))), 30)
+    assert a == b
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=6),
+                       st.integers(min_value=1, max_value=10_000),
+                       min_size=1, max_size=10),
+       st.dictionaries(st.text(min_size=1, max_size=6),
+                       st.one_of(st.just(0.0),
+                                 st.floats(min_value=1e-9, max_value=1.0,
+                                           allow_nan=False)),
+                       max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_mixture_fractions_invariants(counts, weights):
+    """Fractions ∈ [0,1]; some stratum binds at exactly 1 when any
+    weighted stratum exists; achieved expected counts are proportional
+    to the target weights (the defining property)."""
+    from contessa_spark.operators.sampling import mixture_fractions
+
+    fr = mixture_fractions(counts, weights)
+    assert set(fr) == set(counts)
+    assert all(0.0 <= f <= 1.0 for f in fr.values())
+    weighted = [s for s in counts if weights.get(s, 0.0) > 0]
+    if weighted:
+        assert any(abs(fr[s] - 1.0) < 1e-12 for s in weighted)
+        # proportionality: frac_s * n_s / w_s constant across strata
+        ratios = [
+            fr[s] * counts[s] / weights[s]
+            for s in weighted
+            if weights[s] > 0
+        ]
+        assert max(ratios) - min(ratios) <= 1e-6 * max(ratios)
+    else:
+        assert all(f == 0.0 for f in fr.values())
+
+
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=0, max_size=50),
+       st.floats(min_value=1e-4, max_value=0.5))
+@settings(max_examples=40, deadline=None)
+def test_bloom_core_no_false_negatives(values, fpp):
+    """Pure-core bloom check: every inserted value tests positive."""
+    import numpy as np
+
+    from contessa_spark.operators.incremental import (
+        _fnv64_np,
+        _positions,
+        bloom_params,
+    )
+
+    m_bits, k = bloom_params(max(1, len(values)), fpp)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h1 = _fnv64_np(values)
+    for pos in _positions(h1, m_bits, k):
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    hit = np.ones(len(values), dtype=bool)
+    for pos in _positions(h1, m_bits, k):
+        bit = (
+            words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        hit &= bit.astype(bool)
+    assert hit.all()
