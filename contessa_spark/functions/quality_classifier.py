@@ -90,7 +90,9 @@ def train_logreg(
         sw = np.ones(n, dtype=np.float64)
     w = np.zeros(d, dtype=np.float64)
     for _ in range(iters):
-        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        # clip logits: exp overflow past ~709 would emit RuntimeWarnings
+        # (the saturated probabilities are identical either way)
+        p = 1.0 / (1.0 + np.exp(-np.clip(X @ w, -500, 500)))
         grad = X.T @ (sw * (p - y)) / sw.sum() + l2 * w
         w -= lr * grad
     return w
@@ -148,7 +150,8 @@ def quality_score_udf(weights: "np.ndarray", n_features: int = 4096):
         out = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
             v = _hash_words(t if isinstance(t, str) else "", n_features)
-            out[i] = 1.0 / (1.0 + np.exp(-float(v @ w)))
+            z = min(500.0, max(-500.0, float(v @ w)))
+            out[i] = 1.0 / (1.0 + np.exp(-z))
         return pd.Series(out)
 
     _score.__annotations__ = {"texts": pd.Series, "return": pd.Series}

@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 
 from contessa_spark.operators.dedup import fingerprint_col
 
+#: driver-memory guard: a bloom beyond this is no longer a broadcastable
+#: closure — shard the seen corpus or fall back to the anti-join
+MAX_BLOOM_BYTES = 4 * 1024**3
+
 
 def bloom_params(n_items: int, fpp: float) -> Tuple[int, int]:
     """(m_bits, k_hashes) for a target false-positive rate."""
@@ -96,6 +100,12 @@ def build_fingerprint_bloom(
         if n_items is None:
             n_items = seen_df.count()
         m_bits, k = bloom_params(n_items, fpp)
+    if m_bits > 8 * MAX_BLOOM_BYTES:
+        raise ValueError(
+            f"bloom would need {m_bits // 8 / 1e9:.1f} GB "
+            f"(> {MAX_BLOOM_BYTES / 1e9:.0f} GB cap) — raise fpp, shard "
+            "the seen corpus, or use method='anti_join'"
+        )
     n_words = m_bits // 64
 
     fps = seen_df.select(fingerprint_col(text_col).alias("_fp"))

@@ -119,6 +119,7 @@ def mixture_sample(
     strata_col: str = "lang",
     key_cols: Optional[List[str]] = None,
     salt: str = "mix",
+    max_case_strata: int = 256,
 ) -> DataFrame:
     """Deterministic mixture construction: resample ``df`` so the
     ``strata_col`` distribution matches ``weights`` in expectation,
@@ -140,9 +141,25 @@ def mixture_sample(
     }
     fracs = mixture_fractions(counts, weights)
     h = sample_hash_col(key_cols, salt)
-    thr = F.lit("000000")  # unknown / zero-weight strata: drop
-    for value, frac in sorted(fracs.items()):
-        thr = F.when(
-            F.col(strata_col) == value, F.lit(_threshold_hex_floor(frac))
-        ).otherwise(thr)
-    return df.where(h < thr)
+    if len(fracs) <= max_case_strata:
+        # CASE chain: evaluated at the scan, pushdown-friendly
+        thr = F.lit("000000")  # unknown / zero-weight strata: drop
+        for value, frac in sorted(fracs.items()):
+            thr = F.when(
+                F.col(strata_col) == value, F.lit(_threshold_hex_floor(frac))
+            ).otherwise(thr)
+        return df.where(h < thr)
+    # many strata (e.g. per-domain weights): a CASE with 10⁵ branches
+    # is exactly the planning/codegen blowup measured on the expanded
+    # ANN dots — switch to a broadcast threshold-table join instead
+    # (inner join: unknown strata drop, same as the CASE default)
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(v, _threshold_hex_floor(f)) for v, f in sorted(fracs.items())],
+        f"{strata_col} string, _thr string",
+    )
+    return (
+        df.join(F.broadcast(thr_df), strata_col)
+        .where(h < F.col("_thr"))
+        .drop("_thr")
+    )

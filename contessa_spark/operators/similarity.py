@@ -121,17 +121,13 @@ def bucket_signatures_udf(dim: int, n_bits: int, n_tables: int, seed: int):
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def _buckets(vecs):
-        out = []
-        for chunk in (vecs,):
-            V = np.array(list(chunk), dtype=np.float64)
-            if V.ndim != 2:  # empty batch
-                out.extend([[] for _ in range(len(chunk))])
-                continue
-            bits = (V @ planes.T) >= 0  # (n, n_tables*n_bits)
-            bits = bits.reshape(len(V), n_tables, n_bits)
-            buckets = (bits * weights[None, None, :]).sum(axis=2)
-            out.extend(buckets.astype(np.int64).tolist())
-        return pd.Series(out)
+        V = np.array(list(vecs), dtype=np.float64)
+        if V.ndim != 2:  # empty batch
+            return pd.Series([[] for _ in range(len(vecs))])
+        bits = (V @ planes.T) >= 0  # (n, n_tables*n_bits)
+        bits = bits.reshape(len(V), n_tables, n_bits)
+        buckets = (bits * weights[None, None, :]).sum(axis=2)
+        return pd.Series(buckets.astype(np.int64).tolist())
 
     _buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return F.pandas_udf(_buckets, T.ArrayType(T.LongType()))
@@ -141,7 +137,10 @@ def pair_cosine_udf():
     """pandas UDF: (vec_a, vec_b) → cosine rounded to 6 dp — one
     vectorized einsum per Arrow batch. Used for exact re-ranking on
     candidate pairs: a dim-expanded codegen dot is equally exact but
-    costs ~2 s of planning+janino per execution at dim=64 (measured)."""
+    costs ~2 s of planning+janino per execution at dim=64 (measured).
+    A zero-norm vector yields NaN, which every >=/rank comparison
+    rejects — zero embeddings drop out of results rather than
+    erroring (same as the expression form's 0/0)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

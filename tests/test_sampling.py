@@ -112,3 +112,24 @@ def test_mixture_sample_distribution_and_determinism(spark):
         for r in mixture_sample(docs.repartition(7), weights).select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_mixture_sample_join_path_matches_case_path(spark):
+    """Above max_case_strata the threshold CASE becomes a broadcast
+    join (a 10^5-branch CASE is the measured planning blowup) — the
+    row set must be identical either way."""
+    from contessa_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
+    a = sorted(
+        r["doc_id"]
+        for r in mixture_sample(docs, weights, strata_col="lang").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            docs, weights, strata_col="lang", max_case_strata=1
+        ).collect()
+    )
+    assert a == b and a
