@@ -424,6 +424,18 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
 
+def _doc_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode NFC pass (oracle: DuckDB nfc_normalize — utf8proc agrees
+    # with CPython unicodedata on the normalization forms); the
+    # ftfy-style mojibake repair half has no SQL form and is
+    # pytest-gated (tests/test_textnorm.py)
+    from contessa_spark.functions.textnorm import normalize_text
+
+    return normalize_text(
+        _spread(_load(spark, sf_dir, "documents"), spark), mojibake=False
+    )
+
+
 def _doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DoReMi/Pile-style mixture construction: resample so the lang
     # distribution matches MIX_WEIGHTS in expectation, keeping maximal
@@ -802,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_mixture_sample": _doc_mixture_sample,
+        "doc_textnorm": _doc_textnorm,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
@@ -1123,6 +1136,10 @@ def oracle_sql() -> dict[str, str]:
             f"md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) NOT IN "
             f"(SELECT md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
             f" FROM documents WHERE doc_id % 3 = 0)"
+        ),
+        "doc_textnorm": (
+            "SELECT doc_id, nfc_normalize(text) AS norm_text, "
+            "nfc_normalize(text) <> text AS changed FROM documents"
         ),
         "doc_mixture_sample": (
             "WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents GROUP BY lang), "
