@@ -262,3 +262,21 @@ def test_token_topk_two_level_plan(spark):
     assert any("_salt" not in w and "lang" in w for w in windows)
     # the level-1 rank filter bounds the level-2 input
     assert re.search(r"_r1#\d+ <= 10", plan), "level-1 survivors not filtered"
+
+
+def test_spread_only_when_underpartitioned(spark):
+    """_spread must repartition a single-split scan up to the session
+    parallelism and NO-OP when the input already has >= that many
+    partitions (at production scale splits >> cores, so the branch
+    never fires)."""
+    import __spark_entry__ as entry_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    spread = entry_mod._spread(docs, spark)
+    assert (
+        spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 3)
+    assert entry_mod._spread(wide, spark) is wide  # identity: no extra shuffle
