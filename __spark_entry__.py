@@ -463,6 +463,12 @@ def _doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(docs, seen).select("doc_id")
 
 
+def _corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.dedup import corpus_sentence_dedup
+
+    return corpus_sentence_dedup(_load(spark, sf_dir, "documents"))
+
+
 def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lee et al. 2021 repeated-span removal; k=3 words so the synthetic
     # corpus actually shares spans — production uses the paper's 50-token
@@ -810,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _url_canonical,
         "doc_line_dedup": _doc_line_dedup,
         "corpus_line_dedup": _corpus_line_dedup,
+        "corpus_sentence_dedup": _corpus_sentence_dedup,
         "doc_substring_dedup": _doc_substring_dedup,
         "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "doc_incremental_dedup": _doc_incremental_dedup,
@@ -1125,6 +1132,22 @@ def oracle_sql() -> dict[str, str]:
             " count(*)::BIGINT AS n_kept FROM k WHERE rn = 1 GROUP BY doc_id) "
             "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
             "len(t.l)::BIGINT AS n_lines, coalesce(r.n_kept, 0)::BIGINT AS n_kept "
+            "FROM t LEFT JOIN r ON t.doc_id = r.doc_id"
+        ),
+        "corpus_sentence_dedup": (
+            # sentence boundaries marked with chr(30) then split — the
+            # same engine-portable trick the Spark side uses (RE2 has
+            # no lookbehind); rebuild joins with single spaces
+            f"WITH t AS (SELECT doc_id, string_split(regexp_replace(text, "
+            f"'([.!?])([{_WS}]+)', '\\1' || chr(30), 'g'), chr(30)) AS l FROM documents), "
+            "e AS (SELECT doc_id, unnest(range(1, len(l) + 1))::BIGINT AS idx, "
+            " unnest(l) AS span FROM t), "
+            "k AS (SELECT doc_id, idx, span, row_number() OVER "
+            " (PARTITION BY span ORDER BY doc_id, idx) AS rn FROM e), "
+            "r AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS clean_text, "
+            " count(*)::BIGINT AS n_kept FROM k WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+            "len(t.l)::BIGINT AS n_sentences, coalesce(r.n_kept, 0)::BIGINT AS n_kept "
             "FROM t LEFT JOIN r ON t.doc_id = r.doc_id"
         ),
         "dedup_exact": (

@@ -135,38 +135,83 @@ def corpus_line_dedup(
 
     Output: (id, clean_text, n_lines, n_kept).
     """
-    lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    return _corpus_span_dedup(
+        df, F.split(F.col(text_col), "\n"), "\n", id_col, "n_lines"
     )
-    firsts = lines.groupBy("line").agg(
+
+
+#: sentence boundary sentinel (RS control char — never occurs in text);
+#: boundaries are MARKED then split because RE2 (the DuckDB oracle
+#: engine) has no lookbehind, so a shared ``(?<=[.!?])\s+`` split
+#: pattern is not engine-portable
+_SENT_SEP = "\u001e"
+
+
+def sentence_split_col(text_col: str = "text") -> Column:
+    r"""array<string> of sentences: terminator [.!?] + whitespace ends
+    a sentence (trailing punctuation kept; the final fragment counts
+    even unterminated). Same (?U)\s whitespace contract as the
+    tokenizers;
+    deliberately simple — deterministic and SQL-reproducible, not a
+    learned splitter."""
+    marked = F.regexp_replace(
+        F.col(text_col), r"(?U)([.!?])(\s+)", "$1" + _SENT_SEP
+    )
+    return F.split(marked, _SENT_SEP)
+
+
+def corpus_sentence_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CROSS-document exact SENTENCE dedup — ``corpus_line_dedup`` at
+    sentence granularity (closer to C4 §2.2's actual sentence-span
+    unit than lines): every distinct sentence survives once at its
+    global first occurrence; docs rebuild with single spaces. Same
+    hot-span-safe min(struct) plan — see ``corpus_line_dedup``.
+    Output: (id, clean_text, n_sentences, n_kept)."""
+    return _corpus_span_dedup(
+        df, sentence_split_col(text_col), " ", id_col, "n_sentences"
+    )
+
+
+def _corpus_span_dedup(
+    df: DataFrame,
+    spans_col: Column,
+    join_sep: str,
+    id_col: str,
+    count_alias: str,
+) -> DataFrame:
+    spans = df.select(
+        F.col(id_col), F.posexplode(spans_col).alias("idx", "span")
+    )
+    firsts = spans.groupBy("span").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
     )
     kept = (
-        lines.join(firsts, "line")
+        spans.join(firsts, "span")
         .where(
             (F.col(f"_first.{id_col}") == F.col(id_col))
             & (F.col("_first.idx") == F.col("idx"))
         )
-        .select(id_col, "idx", "line")
+        .select(id_col, "idx", "span")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
-            "\n",
+            join_sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "line"))),
-                lambda s: s["line"],
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
             ),
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
     base = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.col(id_col), F.size(spans_col).cast("long").alias(count_alias)
     )
     return base.join(rebuilt, id_col, "left").select(
         id_col,
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        "n_lines",
+        count_alias,
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
 

@@ -557,3 +557,26 @@ def test_substring_dedup_plan_shape(spark):
     assert "partial_min" in plan and "partial_count" in plan
     for rs in re.findall(r"ReadSchema: (\S+)", plan):
         assert "lang" not in rs and "source" not in rs
+
+
+def test_corpus_sentence_dedup_semantics(spark):
+    """Sentence-granularity corpus dedup: each distinct sentence
+    survives once at its global first occurrence; split keeps trailing
+    punctuation and the final unterminated fragment."""
+    from contessa_spark.operators.dedup import corpus_sentence_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Common intro. Unique one! Trailing frag"),
+            (2, "Common intro. Unique two? More"),
+            (3, "Unique one! Solo."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus_sentence_dedup(docs).collect()}
+    assert got[1]["clean_text"] == "Common intro. Unique one! Trailing frag"
+    assert (got[1]["n_sentences"], got[1]["n_kept"]) == (3, 3)
+    assert got[2]["clean_text"] == "Unique two? More"
+    assert (got[2]["n_sentences"], got[2]["n_kept"]) == (3, 2)
+    assert got[3]["clean_text"] == "Solo."
+    assert (got[3]["n_sentences"], got[3]["n_kept"]) == (2, 1)
