@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: end-of-word sentinel appended as its own symbol (Sennrich form);

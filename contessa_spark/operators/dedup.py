@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 

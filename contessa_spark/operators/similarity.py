@@ -31,9 +31,6 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from contessa_spark.operators.dedup import cosine_sim
-
-
 def dim_check(vec: Column, dim: int) -> Column:
     """Per-row declared-dim guard as a FILTER predicate: true when the
     vector's size equals ``dim``, raises otherwise. A wrong declared
