@@ -424,6 +424,12 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
 
+def _doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5)
+
+
 def _doc_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unicode NFC pass (oracle: DuckDB nfc_normalize — utf8proc agrees
     # with CPython unicodedata on the normalization forms); the
@@ -822,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_mixture_sample": _doc_mixture_sample,
         "doc_textnorm": _doc_textnorm,
+        "doc_tfidf_terms": _doc_tfidf_terms,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
@@ -1159,6 +1166,23 @@ def oracle_sql() -> dict[str, str]:
             f"md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) NOT IN "
             f"(SELECT md5(regexp_replace(lower(trim(text)), '[{_WS}]+', ' ', 'g')) "
             f" FROM documents WHERE doc_id % 3 = 0)"
+        ),
+        "doc_tfidf_terms": (
+            # smoothed sklearn idf = ln((N+1)/(df+1)) + 1; score rounded
+            # to 6dp BEFORE ranking on both sides, ties break on term
+            f"WITH w AS (SELECT doc_id, "
+            f"list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws FROM documents), "
+            "e AS (SELECT doc_id, lower(unnest(ws)) AS term FROM w), "
+            "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term), "
+            "dfq AS (SELECT term, count(*)::BIGINT AS dfc FROM tf GROUP BY term), "
+            "n AS (SELECT count(*)::DOUBLE AS nd FROM documents), "
+            "sc AS (SELECT tf.doc_id, tf.term, tf.tf, "
+            " round(tf.tf * (ln((nd + 1) / (dfc + 1)) + 1), 6) AS score "
+            " FROM tf JOIN dfq USING (term), n) "
+            "SELECT doc_id, term, tf, score, rank FROM ("
+            " SELECT sc.*, row_number() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, term ASC) AS rank FROM sc) "
+            "WHERE rank <= 5"
         ),
         "doc_textnorm": (
             "SELECT doc_id, nfc_normalize(text) AS norm_text, "

@@ -394,3 +394,58 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         fingerprint_col(text_col).alias("fingerprint"),
         F.xxhash64(F.substring(norm, 1, 64)).alias("head_hash"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    doc-summarization staple. idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed sklearn convention: never zero, no division by absent
+    terms); score = tf · idf rounded to 6 dp BEFORE ranking (ties
+    break on the term) so ordering is engine-agnostic.
+
+    Plan at 100 TB: (id, term, tf) and the term document-frequency
+    table are both map-side-combined hash aggregates (hot terms
+    collapse per partition before their shuffles); the idf join probes
+    one row per distinct (id, term); the final window partitions by
+    DOC id — groups are bounded by a single document's vocabulary, so
+    no salting is needed (contrast ``token_topk_per_lang``, whose
+    groups span the corpus). ``min_df`` drops hapax noise before the
+    join.
+    Output: (id, term, tf, score, rank)."""
+    from pyspark.sql import Window
+
+    from contessa_spark.functions.textstats import spark_words_col
+
+    terms = (
+        df.select(F.col(id_col), spark_words_col(text_col).alias("_w"))
+        .select(id_col, F.explode("_w").alias("term"))
+        .select(id_col, F.lower("term").alias("term"))
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .withColumn(
+            "_idf",
+            F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0,
+        )
+    )
+    scored = tf.join(dfreq.select("term", "_idf"), "term").withColumn(
+        "score", F.round(F.col("tf") * F.col("_idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

@@ -218,3 +218,32 @@ def test_token_topk_salting_invariant(spark):
             for r in token_topk_per_lang(docs, k=3, n_salt=n_salt).collect()
         }
         assert got == base, n_salt
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Hand-checked smoothed tf-idf: corpus-wide terms score low,
+    doc-unique terms high; ties break on the term."""
+    import math
+
+    from contessa_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    idf_rare = math.log(4 / 2) + 1  # df=1, N=3
+    idf_common = math.log(4 / 4) + 1  # df=3
+    # doc1: common tf=3 * idf_common=1.0 -> 3.0 ; rare1 = idf_rare ~ 1.693
+    assert got[(1, 1)] == ("common", 3, 3.0)
+    assert got[(1, 2)][0] == "rare1"
+    assert abs(got[(1, 2)][2] - round(idf_rare, 6)) < 1e-9
+    # doc2: rare2 (1.693) beats common (1.0)
+    assert got[(2, 1)][0] == "rare2" and got[(2, 2)][0] == "common"
