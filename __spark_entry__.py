@@ -1145,7 +1145,8 @@ def oracle_sql() -> dict[str, str]:
             # sentence boundaries marked with chr(30) then split — the
             # same engine-portable trick the Spark side uses (RE2 has
             # no lookbehind); rebuild joins with single spaces
-            f"WITH t AS (SELECT doc_id, string_split(regexp_replace(text, "
+            f"WITH t AS (SELECT doc_id, string_split(regexp_replace("
+            f"replace(text, chr(30), ''), "
             f"'([.!?])([{_WS}]+)', '\\1' || chr(30), 'g'), chr(30)) AS l FROM documents), "
             "e AS (SELECT doc_id, unnest(range(1, len(l) + 1))::BIGINT AS idx, "
             " unnest(l) AS span FROM t), "

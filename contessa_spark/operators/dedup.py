@@ -154,9 +154,11 @@ def sentence_split_col(text_col: str = "text") -> Column:
     tokenizers;
     deliberately simple — deterministic and SQL-reproducible, not a
     learned splitter."""
-    marked = F.regexp_replace(
-        F.col(text_col), r"(?U)([.!?])(\s+)", "$1" + _SENT_SEP
-    )
+    # strip any pre-existing RS control chars first: the sentinel must
+    # be unambiguous even against adversarial input (mirrored in the
+    # SQL oracle)
+    cleaned = F.replace(F.col(text_col), F.lit(_SENT_SEP), F.lit(""))
+    marked = F.regexp_replace(cleaned, r"(?U)([.!?])(\s+)", "$1" + _SENT_SEP)
     return F.split(marked, _SENT_SEP)
 
 

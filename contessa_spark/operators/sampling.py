@@ -131,7 +131,9 @@ def mixture_sample(
     — no shuffle, pushdown-friendly, identical row set on every
     engine/layout. The division chain uses plain float64 ops in a
     fixed order so a SQL oracle recomputing the same fractions lands
-    on bit-identical thresholds (see ``_threshold_hex_floor``)."""
+    on bit-identical thresholds (see ``_threshold_hex_floor``).
+    Rows with a NULL or unweighted stratum value are dropped (they
+    have no place in the target mixture)."""
     key_cols = list(key_cols or ["doc_id"])
     counts = {
         r[strata_col]: r["_n"]

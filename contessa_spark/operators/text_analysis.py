@@ -402,6 +402,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
+    n_docs: int = None,
 ) -> DataFrame:
     """Per-document top-k TF-IDF terms — the keyword-extraction /
     doc-summarization staple. idf = ln((N+1)/(df+1)) + 1 (the
@@ -428,7 +429,9 @@ def tfidf_top_terms(
         .select(id_col, F.lower("term").alias("term"))
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()
+    if n_docs is None:
+        # pass n_docs when known — counting is a whole extra scan
+        n_docs = df.count()
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -25,7 +25,8 @@ def test_mojibake_single_and_double_roundtrip():
 
 
 def test_mojibake_conservative_on_clean_text():
-    for s in ["plain ascii", "déjà vu", "日本語テキスト", "", "Ångström"]:
+    for s in ["plain ascii", "déjà vu", "日本語テキスト", "", "Ångström",
+              "mañana Ñoño", "Москва Ð is a real letter? no — marker"]:
         assert fix_mojibake(s) == s
 
 
