@@ -556,6 +556,18 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDedup (Abbas et al. 2023): md5-selected pivot cells, one GEMM
+    # per cell, keep-first-by-id within threshold. threshold 0.4 /
+    # n_cells 4 are sized to the near-uniform sf embeddings (max random
+    # cosine ≈ 0.44) so real drops occur at test scale.
+    from contessa_spark.operators.semantic import semantic_dedup
+
+    return semantic_dedup(
+        _load(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=4
+    )
+
+
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocked-GEMM exact variant: bit-identical to the pair-join form
     # (verified), ~50× faster on all-pairs workloads
@@ -795,6 +807,9 @@ def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks the first 50
+    # entries. Every oracle-backed query comes first (45 of them); the 9
+    # rows-only / no-oracle queries (pytest-gated instead) sit at the end.
     return {
         "rule_counts_lineitem": _rule_counts_lineitem,
         "rule_time_filter_events": _rule_time_filter_events,
@@ -814,10 +829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngrams": _doc_top_ngrams,
         "token_topk_per_lang": _token_topk_per_lang,
         "doc_length_quantiles": _doc_length_quantiles,
-        "doc_langid": _doc_langid,
-        "doc_scrub": _doc_scrub,
-        "doc_bpe_tokens": _doc_bpe_tokens,
-        "doc_quality_classifier": _doc_quality_classifier,
         "dedup_exact": _dedup_exact,
         "url_canonical": _url_canonical,
         "doc_line_dedup": _doc_line_dedup,
@@ -832,14 +843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
+        "dedup_semantic": _dedup_semantic,
         "doc_decontamination": _doc_decontamination,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_simhash": _dedup_simhash,
         "embedding_near_dups": _embedding_near_dups,
-        "embedding_near_dups_lsh": _embedding_near_dups_lsh,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
-        "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
         "revenue_by_nation": _revenue_by_nation,
         "events_hourly_rollup": _events_hourly_rollup,
         "events_sessions": _events_sessions,
@@ -850,6 +857,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
+        # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
+        "doc_langid": _doc_langid,
+        "doc_scrub": _doc_scrub,
+        "doc_bpe_tokens": _doc_bpe_tokens,
+        "doc_quality_classifier": _doc_quality_classifier,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "embedding_near_dups_lsh": _embedding_near_dups_lsh,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
     }
 
 
@@ -1323,6 +1340,24 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node) "
             "SELECT d.doc_id, coalesce(comp.cid, d.doc_id) AS component_id "
             "FROM documents d LEFT JOIN comp ON d.doc_id = comp.node"
+        ),
+        "dedup_semantic": (
+            # SemDedup: md5-ordered pivot selection (shared with the
+            # Spark side verbatim), argmax rounded-cosine assignment
+            # (ties → lowest pivot id), keep-first-by-id within a cell
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            " WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0), "
+            "piv AS (SELECT vec_id AS pid, v AS pv FROM e "
+            " ORDER BY md5(concat_ws('|', 'sem', vec_id)), vec_id LIMIT 4), "
+            "assign AS (SELECT e.vec_id, e.v, "
+            " (SELECT p.pid FROM piv p "
+            "  ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC, p.pid ASC "
+            "  LIMIT 1) AS cell FROM e), "
+            "drops AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b "
+            " ON a.cell = b.cell AND b.vec_id < a.vec_id "
+            " AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4) "
+            "SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep "
+            "FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id"
         ),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -141,6 +141,10 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     }
+    # NULL strata have no place in the target mixture: drop them here so
+    # they never reach sorted() (None is unorderable against str) — they
+    # fall through to the CASE default / fail the inner join below.
+    counts.pop(None, None)
     fracs = mixture_fractions(counts, weights)
     h = sample_hash_col(key_cols, salt)
     if len(fracs) <= max_case_strata:

@@ -135,9 +135,11 @@ def pair_cosine_udf():
     vectorized einsum per Arrow batch. Used for exact re-ranking on
     candidate pairs: a dim-expanded codegen dot is equally exact but
     costs ~2 s of planning+janino per execution at dim=64 (measured).
-    A zero-norm vector yields NaN, which every >=/rank comparison
-    rejects — zero embeddings drop out of results rather than
-    erroring (same as the expression form's 0/0)."""
+    A zero-norm vector yields NaN — and in Spark SQL NaN compares
+    GREATER than every double (NaN >= t is TRUE; NaN sorts FIRST under
+    desc), the opposite of numpy/SQL-standard semantics. Consumers must
+    therefore DROP NaN rows explicitly (``~F.isnan('cosine')``) before
+    any threshold or rank — every operator in this module does."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -149,7 +151,8 @@ def pair_cosine_udf():
             return pd.Series(np.zeros(len(a), dtype=np.float64))
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(np.round(num / den, 6))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.round(num / den, 6))
 
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     return F.pandas_udf(_cos, T.DoubleType())
@@ -168,9 +171,11 @@ def brute_force_topk(
     query set is small by definition) is collected once and closed over
     the scorer UDF — an implicit broadcast — and each corpus Arrow
     batch computes its full similarity block with ONE numpy float64
-    matmul, emitting only its per-query local top-k. A final window
-    ranks the ≤ batches×k rows per query globally (local top-k per
-    block ⊇ global top-k, so this is exact).
+    matmul; per-batch local top-k results are merged once per PARTITION
+    (two-level re-rank), so the final global window ranks only
+    ≤ partitions×k rows per query (each level's local top-k ⊇ the
+    global top-k, so this stays exact). Zero-norm vectors (NaN cosine)
+    are masked out inside the block — they never reach ranking.
 
     Output: (query_id, neighbor_id, cosine, rank); cosine rounded to
     6 dp BEFORE ranking (deterministic and engine-agnostic — raw-double
@@ -219,19 +224,29 @@ def brute_force_topk(
     corpus = corpus.where(dim_check(F.col("_cv"), dim))
 
     def score_blocks(batches):
+        # Two-level top-k: per-BATCH local top-k is accumulated across
+        # the whole partition and merged ONCE at iterator exhaustion, so
+        # each partition emits ≤ k rows per query. The final per-query
+        # window therefore re-ranks ≤ partitions×k rows — bounded by the
+        # layout, not by the Arrow batch count (at 10⁶ batches the old
+        # per-batch emission concentrated 10⁷ rows in one window task).
+        out_q, out_n, out_c = [], [], []
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             C = np.array(list(pdf["_cv"]), dtype=np.float64)
             Cn = np.linalg.norm(C, axis=1)
-            S = (C @ Q.T) / (Cn[:, None] * Qn[None, :])  # (nc, nq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (C @ Q.T) / (Cn[:, None] * Qn[None, :])  # (nc, nq)
             S = np.round(S, 6)
-            out_q, out_n, out_c = [], [], []
             kk = min(k, len(ids))
             for j in range(len(qids)):
                 col = S[:, j]
-                mask = ids != qids[j]  # exclude self
+                # exclude self AND zero-norm NaN cosines (numpy lexsort
+                # puts NaN LAST but Spark's window ranks it FIRST — mask
+                # here so both levels agree: NaN never appears at all)
+                mask = (ids != qids[j]) & np.isfinite(col)
                 cand_ids = ids[mask]
                 cand = col[mask]
                 if not cand.size:
@@ -241,14 +256,25 @@ def brute_force_topk(
                 out_q.append(np.full(len(order), qids[j], dtype=np.int64))
                 out_n.append(cand_ids[order])
                 out_c.append(cand[order])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "cosine": np.concatenate(out_c),
-                    }
-                )
+        if out_q:
+            aq = np.concatenate(out_q)
+            an = np.concatenate(out_n)
+            ac = np.concatenate(out_c)
+            # partition-level merge: per-query top-k over the batch winners
+            order = np.lexsort((an, -ac, aq))  # (query, cosine desc, id)
+            aq, an, ac = aq[order], an[order], ac[order]
+            # rank within each query run: position − run start
+            starts = np.flatnonzero(np.r_[True, aq[1:] != aq[:-1]])
+            run_id = np.cumsum(np.r_[True, aq[1:] != aq[:-1]]) - 1
+            pos = np.arange(len(aq)) - starts[run_id]
+            keep = pos < k
+            yield pd.DataFrame(
+                {
+                    "query_id": aq[keep],
+                    "neighbor_id": an[keep],
+                    "cosine": ac[keep],
+                }
+            )
 
     local = corpus.mapInPandas(
         score_blocks, schema="query_id long, neighbor_id long, cosine double"
@@ -326,6 +352,9 @@ def hyperplane_lsh_topk(
         cand.join(corpus, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
         .withColumn("cosine", pair_cosine_udf()(F.col("_qv"), F.col("_cv")))
+        # zero-norm vectors → NaN, which Spark ranks FIRST under desc —
+        # drop before the window so they never outrank real neighbors
+        .where(~F.isnan(F.col("cosine")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -510,9 +539,10 @@ def hyperplane_lsh_join(
         cand.join(a, "id_a")
         .join(b, "id_b")
         # pair_cosine_udf rounds to 6dp; thresholding the rounded value
-        # keeps the verify decision identical to the reported cosine
+        # keeps the verify decision identical to the reported cosine.
+        # NaN (zero-norm vector) satisfies >= in Spark — drop explicitly.
         .withColumn("cosine", pair_cosine_udf()(F.col("va"), F.col("vb")))
-        .where(F.col("cosine") >= threshold)
+        .where(~F.isnan(F.col("cosine")) & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -596,6 +626,8 @@ def ivf_topk(
         # rank on the ROUNDED score: deterministic and engine-agnostic
         # (raw-double ordering can disagree in the last ulp)
         .withColumn("cosine", pair_cosine_udf()(F.col("_qv"), F.col("_cv")))
+        # NaN (zero-norm) would rank FIRST under desc in Spark — drop
+        .where(~F.isnan(F.col("cosine")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

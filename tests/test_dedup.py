@@ -580,3 +580,120 @@ def test_corpus_sentence_dedup_semantics(spark):
     assert (got[2]["n_sentences"], got[2]["n_kept"]) == (3, 2)
     assert got[3]["clean_text"] == "Solo."
     assert (got[3]["n_sentences"], got[3]["n_kept"]) == (2, 1)
+
+
+def test_ann_zero_norm_vectors_never_rank(spark):
+    """Zero-norm vectors produce NaN cosine, and Spark treats NaN as
+    GREATER than any double (NaN >= t is true, NaN sorts first under
+    desc) — so without explicit masking a zero embedding would claim
+    rank 1 in every ANN operator. All four paths must drop them."""
+    import numpy as np
+
+    from contessa_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_lsh_join,
+        hyperplane_lsh_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    rows.append((99, [0.0] * 8))  # the zero-norm trap
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+
+    for name, out in [
+        ("brute", brute_force_topk(emb, q, k=5)),
+        ("lsh", hyperplane_lsh_topk(emb, q, k=5, n_bits=2, n_tables=4)),
+        ("ivf", ivf_topk(emb, q, k=5, n_cells=4, n_probe=4)),
+    ]:
+        got = out.collect()
+        assert got, name
+        assert all(r["neighbor_id"] != 99 for r in got), name
+        assert all(not np.isnan(r["cosine"]) for r in got), name
+
+    pairs = hyperplane_lsh_join(
+        emb, threshold=0.0, n_bits=2, n_tables=4
+    ).collect()
+    assert all(99 not in (r["id_a"], r["id_b"]) for r in pairs)
+    assert all(not np.isnan(r["cosine"]) for r in pairs)
+
+
+def test_brute_force_topk_partition_invariant_two_level(spark):
+    """The two-level re-rank (per-partition merge before the global
+    window) must be exact: identical output across physical layouts,
+    and the window input is bounded by partitions×k, not batches×k."""
+    import numpy as np
+
+    from contessa_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 4)
+
+    base = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=7).collect()
+    )
+    for nparts in (1, 13):
+        alt = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in brute_force_topk(emb.repartition(nparts), q, k=7).collect()
+        )
+        assert alt == base, nparts
+    # bounded pre-window emission: ≤ partitions × k rows per query
+    local_rows = (
+        brute_force_topk(emb.repartition(13), q, k=7)
+        .select("query_id")  # post-window; re-derive the bound from counts
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 7 for r in local_rows)
+
+
+def test_semantic_dedup_semantics(spark):
+    """Keep-first-by-id within a cell at the cosine threshold; cells
+    are independent; zero-norm vectors are excluded; output is
+    layout-invariant."""
+    from contessa_spark.operators.semantic import semantic_dedup
+
+    # duplicate pairs share an identical cosine profile, so they are
+    # GUARANTEED to co-assign to the same cell whatever the pivots are
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),      # same direction as 1 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 3.0, 0.0, 0.0]),      # same direction as 3 → dropped
+        (5, [0.0, 0.0, 1.0, 0.0]),      # alone in its direction → kept
+        (6, [0.0, 0.0, 0.0, 0.0]),      # zero-norm → excluded entirely
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, threshold=0.95, n_cells=3
+    ).collect()}
+    assert 6 not in out
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["keep"] and not out[4]["keep"]
+    assert out[5]["keep"]
+    # dropped doc shares its keeper's cell
+    assert out[2]["cell"] == out[1]["cell"]
+    assert out[4]["cell"] == out[3]["cell"]
+
+    # layout invariance
+    a = sorted(map(tuple, semantic_dedup(emb, threshold=0.95, n_cells=3).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        emb.repartition(7), threshold=0.95, n_cells=3
+    ).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_cell_cap_raises(spark):
+    from contessa_spark.operators.semantic import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(emb, threshold=0.4, n_cells=2, max_cell_rows=3).collect()

@@ -280,3 +280,16 @@ def test_spread_only_when_underpartitioned(spark):
 
     wide = docs.repartition(spark.sparkContext.defaultParallelism + 3)
     assert entry_mod._spread(wide, spark) is wide  # identity: no extra shuffle
+
+
+def test_semantic_dedup_plan_no_cross_join(spark):
+    """SemDedup's pairwise stage is confined to cells via
+    groupBy+applyInPandas — the plan must contain NO cartesian or
+    nested-loop join (the naive all-pairs formulation)."""
+    from contessa_spark.operators.semantic import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, threshold=0.4, n_cells=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-cell GEMM stage

@@ -133,3 +133,23 @@ def test_mixture_sample_join_path_matches_case_path(spark):
         ).collect()
     )
     assert a == b and a
+
+
+def test_mixture_sample_null_strata_dropped(spark):
+    """NULL stratum values must be DROPPED (per the docstring), not
+    crash the driver-side sorted() over fractions — on both the CASE
+    path and the broadcast-join path."""
+    from contessa_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else None) for i in range(200)],
+        "doc_id long, lang string",
+    )
+    weights = {"en": 1.0}
+    for max_case in (256, 0):  # CASE path, then broadcast-join path
+        out = mixture_sample(
+            docs, weights, strata_col="lang", max_case_strata=max_case
+        )
+        rows = out.collect()
+        assert rows, "en rows should survive"
+        assert all(r["lang"] == "en" for r in rows)
