@@ -425,9 +425,16 @@ MIX_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.1, "es": 0.1}
 
 
 def _doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
     from contessa_spark.operators.text_analysis import tfidf_top_terms
 
-    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5)
+    # n_docs from the parquet footer — no Spark job, no second corpus
+    # scan (at production scale: the Iceberg snapshot's row-count stat)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5, n_docs=n_docs)
 
 
 def _doc_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,9 +1169,12 @@ def oracle_sql() -> dict[str, str]:
             # sentence boundaries marked with chr(30) then split — the
             # same engine-portable trick the Spark side uses (RE2 has
             # no lookbehind); rebuild joins with single spaces
-            f"WITH t AS (SELECT doc_id, string_split(regexp_replace("
+            # trailing terminator+whitespace would leave an empty span:
+            # filter empties (RE2 has no lookahead to anchor the marker)
+            f"WITH t AS (SELECT doc_id, list_filter(string_split(regexp_replace("
             f"replace(text, chr(30), ''), "
-            f"'([.!?])([{_WS}]+)', '\\1' || chr(30), 'g'), chr(30)) AS l FROM documents), "
+            f"'([.!?])([{_WS}]+)', '\\1' || chr(30), 'g'), chr(30)), "
+            f"x -> x <> '') AS l FROM documents), "
             "e AS (SELECT doc_id, unnest(range(1, len(l) + 1))::BIGINT AS idx, "
             " unnest(l) AS span FROM t), "
             "k AS (SELECT doc_id, idx, span, row_number() OVER "

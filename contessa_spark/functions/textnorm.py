@@ -89,10 +89,19 @@ def normalize_text(
 ) -> DataFrame:
     """(id, norm_text, changed). One UDF pass, no shuffle; returning
     NULL-free norm_text and a changed flag so downstream dedup can
-    count how much of the corpus needed repair."""
+    count how much of the corpus needed repair.
+
+    The UDF lands in its own projection FIRST and ``changed`` derives
+    from the materialized column in a second select — referencing the
+    UDF expression twice in one projection risks running the Python
+    normalization pass twice per row (the double-eval trap
+    ``substring_dedup`` dodges with its struct-first pattern)."""
     norm = normalize_text_udf(mojibake)(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        norm.alias("norm_text"),
-        (norm != F.col(text_col)).alias("changed"),
+    return (
+        df.select(F.col(id_col), F.col(text_col), norm.alias("norm_text"))
+        .select(
+            F.col(id_col),
+            F.col("norm_text"),
+            (F.col("norm_text") != F.col(text_col)).alias("changed"),
+        )
     )

@@ -159,7 +159,12 @@ def sentence_split_col(text_col: str = "text") -> Column:
     # SQL oracle)
     cleaned = F.replace(F.col(text_col), F.lit(_SENT_SEP), F.lit(""))
     marked = F.regexp_replace(cleaned, r"(?U)([.!?])(\s+)", "$1" + _SENT_SEP)
-    return F.split(marked, _SENT_SEP)
+    # text ending in terminator+whitespace ('Hello. ') leaves a trailing
+    # EMPTY span after the split, inflating n_sentences and letting ''
+    # join cross-document dedup; RE2 (the oracle engine) has no
+    # lookahead to anchor the marker, so filter empties instead
+    # (mirrored in the SQL oracle's list_filter)
+    return F.filter(F.split(marked, _SENT_SEP), lambda x: x != "")
 
 
 def corpus_sentence_dedup(
@@ -183,14 +188,27 @@ def _corpus_span_dedup(
     id_col: str,
     count_alias: str,
 ) -> DataFrame:
+    # The first-occurrence aggregate and its join back run on a 128-bit
+    # span FINGERPRINT (two independent xxhash64 seeds — 16 bytes), not
+    # the span text: at web scale the distinct-span table is
+    # corpus-sized text, and hashing the group/build keys keeps both
+    # the map-side combine state and the build-side shuffle narrow. The
+    # raw span travels only on the probe side, where the rebuild needs
+    # it anyway. 128 bits ⇒ collision odds ~n²/2¹²⁹ (≪1 even at 10¹²
+    # distinct spans).
     spans = df.select(
         F.col(id_col), F.posexplode(spans_col).alias("idx", "span")
+    ).withColumns(
+        {
+            "_h1": F.xxhash64(F.col("span")),
+            "_h2": F.xxhash64(F.col("span"), F.lit(0x5EED)),
+        }
     )
-    firsts = spans.groupBy("span").agg(
+    firsts = spans.groupBy("_h1", "_h2").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_first")
     )
     kept = (
-        spans.join(firsts, "span")
+        spans.join(firsts, ["_h1", "_h2"])
         .where(
             (F.col(f"_first.{id_col}") == F.col(id_col))
             & (F.col("_first.idx") == F.col("idx"))

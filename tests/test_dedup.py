@@ -570,6 +570,11 @@ def test_corpus_sentence_dedup_semantics(spark):
             (1, "Common intro. Unique one! Trailing frag"),
             (2, "Common intro. Unique two? More"),
             (3, "Unique one! Solo."),
+            # terminator + trailing whitespace must NOT leave an empty
+            # span (would inflate n_sentences and let '' participate in
+            # cross-document dedup)
+            (4, "Hello there. "),
+            (5, ""),
         ],
         "doc_id long, text string",
     )
@@ -580,6 +585,10 @@ def test_corpus_sentence_dedup_semantics(spark):
     assert (got[2]["n_sentences"], got[2]["n_kept"]) == (3, 2)
     assert got[3]["clean_text"] == "Solo."
     assert (got[3]["n_sentences"], got[3]["n_kept"]) == (2, 1)
+    assert got[4]["clean_text"] == "Hello there."
+    assert (got[4]["n_sentences"], got[4]["n_kept"]) == (1, 1)
+    assert got[5]["clean_text"] == ""
+    assert (got[5]["n_sentences"], got[5]["n_kept"]) == (0, 0)
 
 
 def test_ann_zero_norm_vectors_never_rank(spark):
