@@ -32,29 +32,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: end-of-word sentinel appended as its own symbol (Sennrich form);
-#: never collides with text because words are whitespace-split
+#: never collides with text because words are whitespace-split (and in
+#: byte mode the byte alphabet is single chars, so the multi-char
+#: sentinel cannot collide either)
 EOW = "</w>"
+
+
+# ------------------------------------------------------- byte alphabet
+
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode table (Radford et al.
+    2019, public `encoder.py`): the 188 visible latin-1 bytes map to
+    themselves; the rest shift up past U+0100 so every byte has a
+    printable, non-whitespace stand-in. Merging over THESE symbols is
+    what makes byte-level BPE lossless on arbitrary unicode — any
+    character is just 1-4 alphabet symbols, nothing is ever OOV."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
 
 
 # ---------------------------------------------------------------- pure core
 
-def word_symbols(word: str) -> Tuple[str, ...]:
+def word_symbols(word: str, byte_level: bool = False) -> Tuple[str, ...]:
+    if byte_level:
+        return tuple(_B2U[b] for b in word.encode("utf-8")) + (EOW,)
     return tuple(word) + (EOW,)
 
 
 def train_bpe_from_counts(
-    word_counts: Dict[str, int], n_merges: int
+    word_counts: Dict[str, int], n_merges: int, byte_level: bool = False
 ) -> List[Tuple[str, str]]:
     """Classic BPE training over a word-frequency dict. Incremental:
     pair counts and a pair→words index update only for words containing
     the merged pair, so each merge costs O(words touched), not O(all).
     Ties break on the lexicographically smallest pair — fully
-    deterministic for a given dict."""
+    deterministic for a given dict. ``byte_level`` trains over the
+    GPT-2 byte alphabet instead of raw characters."""
     words: Dict[Tuple[str, ...], int] = {}
     for w, c in word_counts.items():
         if not w:
             continue
-        sym = word_symbols(w)
+        sym = word_symbols(w, byte_level)
         words[sym] = words.get(sym, 0) + int(c)
 
     pair_counts: Dict[Tuple[str, str], int] = {}
@@ -108,10 +141,12 @@ def train_bpe_from_counts(
     return merges
 
 
-def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+def encode_word(
+    word: str, ranks: Dict[Tuple[str, str], int], byte_level: bool = False
+) -> List[str]:
     """GPT-2-style greedy apply: repeatedly merge the adjacent pair
     with the LOWEST rank until none remains."""
-    sym = list(word_symbols(word))
+    sym = list(word_symbols(word, byte_level))
     while len(sym) > 1:
         best_i, best_r = -1, None
         for i in range(len(sym) - 1):
@@ -124,9 +159,14 @@ def encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
     return sym
 
 
-def decode_tokens(tokens: List[str]) -> str:
-    """Inverse of per-word encoding: concatenation minus the sentinel."""
-    return "".join(tokens).replace(EOW, "")
+def decode_tokens(tokens: List[str], byte_level: bool = False) -> str:
+    """Inverse of per-word encoding: concatenation minus the sentinel
+    (byte mode additionally maps the alphabet back to bytes and
+    utf-8-decodes — lossless round-trip for ANY unicode input)."""
+    joined = "".join(tokens).replace(EOW, "")
+    if byte_level:
+        return bytes(_U2B[ch] for ch in joined).decode("utf-8")
+    return joined
 
 
 # ---------------------------------------------------------------- training
@@ -172,23 +212,26 @@ def train_bpe(
     max_words: int = 50_000,
     seed: int = 42,
     id_col: Optional[str] = None,
+    byte_level: bool = False,
 ) -> List[Tuple[str, str]]:
     freq = word_frequencies(
         df, text_col, sample_fraction, max_words, seed, id_col
     ).collect()
-    return train_bpe_from_counts({r["word"]: r["n"] for r in freq}, n_merges)
+    return train_bpe_from_counts(
+        {r["word"]: r["n"] for r in freq}, n_merges, byte_level
+    )
 
 
 # ---------------------------------------------------------------- apply
 
-def _make_word_encoder(merges: List[Tuple[str, str]]):
+def _make_word_encoder(merges: List[Tuple[str, str]], byte_level: bool = False):
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     memo: Dict[str, List[str]] = {}
 
     def enc(word: str) -> List[str]:
         got = memo.get(word)
         if got is None:
-            got = encode_word(word, ranks)
+            got = encode_word(word, ranks, byte_level)
             if len(memo) < 2_000_000:  # bounded worker memory
                 memo[word] = got
         return got
@@ -196,7 +239,7 @@ def _make_word_encoder(merges: List[Tuple[str, str]]):
     return enc
 
 
-def bpe_encode_udf(merges: List[Tuple[str, str]]):
+def bpe_encode_udf(merges: List[Tuple[str, str]], byte_level: bool = False):
     """pandas UDF: text → array<string> of BPE tokens (lowercased
     whitespace words, each word encoded independently — merges never
     cross the EOW sentinel). Per-worker word memo: Zipf words make the
@@ -204,7 +247,7 @@ def bpe_encode_udf(merges: List[Tuple[str, str]]):
     import pandas as pd
     from pyspark.sql import types as T
 
-    enc = _make_word_encoder(merges)
+    enc = _make_word_encoder(merges, byte_level)
 
     def _enc(texts):
         out = []
@@ -220,13 +263,13 @@ def bpe_encode_udf(merges: List[Tuple[str, str]]):
     return F.pandas_udf(_enc, T.ArrayType(T.StringType()))
 
 
-def bpe_token_count_udf(merges: List[Tuple[str, str]]):
+def bpe_token_count_udf(merges: List[Tuple[str, str]], byte_level: bool = False):
     """pandas UDF: text → BIGINT token count (no token materialization
     — the pack-budget hot path)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    enc = _make_word_encoder(merges)
+    enc = _make_word_encoder(merges, byte_level)
 
     def _cnt(texts):
         out = []
@@ -244,6 +287,7 @@ def bpe_token_counts(
     merges: List[Tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """(id, bpe_tokens, ws_tokens): the trained-vocab token budget next
     to the whitespace baseline (their ratio is the fertility the
@@ -253,6 +297,6 @@ def bpe_token_counts(
     ).cast("long")
     return df.select(
         F.col(id_col),
-        bpe_token_count_udf(merges)(F.col(text_col)).alias("bpe_tokens"),
+        bpe_token_count_udf(merges, byte_level)(F.col(text_col)).alias("bpe_tokens"),
         ws.alias("ws_tokens"),
     )

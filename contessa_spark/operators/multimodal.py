@@ -67,7 +67,14 @@ def _decode_gif(payload: bytes) -> dict:
 def _decode_bmp(payload: bytes) -> dict:
     """BMP dims from the BITMAPINFOHEADER (int32 LE at offset 18/22;
     height may be negative for top-down rows — reported as magnitude).
-    The legacy BITMAPCOREHEADER (size 12) uses uint16 fields."""
+    The legacy BITMAPCOREHEADER (size 12) uses uint16 fields.
+
+    For 24-bit uncompressed (BI_RGB) payloads ``mean_byte`` is REAL:
+    the pixel array starts at bfOffBits (uint32 LE at offset 10), rows
+    are padded to 4-byte multiples, and the mean runs over the 3·w
+    pixel bytes per row (padding excluded) — same integer-floor
+    convention as the PNG path. Other bit depths / compressions report
+    dims only."""
     import struct
 
     bad = {"width": None, "height": None, "mean_byte": None, "ok": False}
@@ -82,7 +89,28 @@ def _decode_bmp(payload: bytes) -> dict:
     w, h = struct.unpack_from("<ii", payload, 18)
     if w <= 0 or h == 0:
         return bad
-    return {"width": int(w), "height": abs(int(h)), "mean_byte": None, "ok": True}
+    out = {"width": int(w), "height": abs(int(h)), "mean_byte": None, "ok": True}
+    if hdr_size < 20 or len(payload) < 34:
+        return out
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    (off_bits,) = struct.unpack_from("<I", payload, 10)
+    if bpp != 24 or compression != 0:  # BI_RGB only
+        return out
+    n_rows = abs(int(h))
+    row_stride = ((24 * int(w) + 31) // 32) * 4  # 4-byte row padding
+    pixel_bytes = 3 * int(w)
+    needed = off_bits + row_stride * n_rows
+    # bomb/truncation guard: declared dims must fit the actual payload
+    if needed > len(payload) or row_stride * n_rows > MAX_PNG_RAW_BYTES:
+        return out
+    total = 0
+    for r in range(n_rows):
+        start = off_bits + r * row_stride
+        total += sum(payload[start : start + pixel_bytes])
+    n = pixel_bytes * n_rows
+    out["mean_byte"] = int(total // n) if n else None
+    return out
 
 
 def _decode_webp(payload: bytes) -> dict:

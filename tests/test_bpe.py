@@ -90,3 +90,73 @@ def test_bpe_token_counts_and_pack_budget(spark):
     by_doc = {r["doc_id"]: r for r in rows}
     cnt_by_doc = {r["doc_id"]: r["bpe_tokens"] for r in counts}
     assert all(by_doc[d]["n_tokens"] == cnt_by_doc[d] for d in by_doc)
+
+
+def test_byte_level_roundtrip_arbitrary_unicode():
+    """Byte-level mode must encode/decode ANY unicode word losslessly —
+    including scripts absent from training (the GPT-2 byte-alphabet
+    guarantee the char-level mode lacks)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from contessa_spark.functions.bpe import (
+        decode_tokens,
+        encode_word,
+        train_bpe_from_counts,
+    )
+
+    merges = train_bpe_from_counts(
+        {"héllo": 10, "wörld": 8, "日本語": 7, "the": 20}, 64, byte_level=True
+    )
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                blacklist_characters=" \t\n\r",  # words are ws-split
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def _rt(word):
+        toks = encode_word(word, ranks, byte_level=True)
+        assert decode_tokens(toks, byte_level=True) == word
+
+    _rt()
+
+
+def test_byte_level_alphabet_is_reversible_and_printable():
+    from contessa_spark.functions.bpe import _B2U, _U2B
+
+    assert len(_B2U) == 256 and len(_U2B) == 256
+    for b, u in _B2U.items():
+        assert _U2B[u] == b
+        assert not u.isspace()  # stand-ins never collide with ws-split
+
+
+def test_byte_level_spark_encode_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from contessa_spark.functions.bpe import bpe_encode_udf, train_bpe
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    merges = train_bpe(docs, n_merges=64, byte_level=True)
+    assert merges
+
+    def run(df):
+        return {
+            r["doc_id"]: tuple(r["toks"])
+            for r in df.select(
+                "doc_id",
+                bpe_encode_udf(merges, byte_level=True)(F.col("text")).alias("toks"),
+            ).collect()
+        }
+
+    a = run(docs)
+    b = run(docs.repartition(7))
+    assert a == b and a

@@ -384,3 +384,50 @@ def test_bmp_dims():
     got = decode_image_bytes(bmp(12, 64, 48, "<HH"))
     assert (got["width"], got["height"], got["ok"]) == (64, 48, True)
     assert decode_image_bytes(b"BM\x00\x00")["ok"] is False
+
+
+def test_bmp_pixel_mean_real_bytes():
+    """24-bit BI_RGB pixel statistics: mean over the 3·w pixel bytes
+    per row, excluding the 4-byte row padding; other depths and
+    truncated payloads fall back to dims-only."""
+    import struct
+
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    def bmp24(w, h, rows):
+        # rows: list of h lists of 3*w pixel byte values (bottom-up)
+        row_stride = ((24 * w + 31) // 32) * 4
+        off_bits = 14 + 40
+        header = (
+            b"BM"
+            + struct.pack("<I", off_bits + row_stride * abs(h))
+            + b"\x00" * 4
+            + struct.pack("<I", off_bits)
+            + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h)
+            + struct.pack("<HH", 1, 24)
+            + struct.pack("<I", 0)  # BI_RGB
+            + b"\x00" * 20
+        )
+        body = b""
+        for r in rows:
+            pix = bytes(r)
+            body += pix + b"\x00" * (row_stride - len(pix))
+        return header + body
+
+    # 3x2 image: pixel bytes 10 and 250 alternating; padding bytes are
+    # ZERO and must NOT drag the mean down
+    rows = [[10] * 9, [250] * 9]
+    got = decode_image_bytes(bmp24(3, 2, rows))
+    assert (got["width"], got["height"], got["ok"]) == (3, 2, True)
+    assert got["mean_byte"] == (10 * 9 + 250 * 9) // 18  # = 130
+
+    # top-down (negative height): same mean
+    got = decode_image_bytes(bmp24(3, -2, rows))
+    assert got["mean_byte"] == 130 and got["height"] == 2
+
+    # truncated pixel array: dims survive, mean does not
+    full = bmp24(3, 2, rows)
+    got = decode_image_bytes(full[:-5])
+    assert (got["width"], got["height"], got["ok"]) == (3, 2, True)
+    assert got["mean_byte"] is None
