@@ -360,6 +360,73 @@ def _url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_url_col() -> "Column":
+    """Deterministic per-doc URLs with subdomains, mixed case, ports,
+    and multi-part public suffixes — the domain-operator test surface
+    (the testdata documents table has no url column; the oracle builds
+    the SAME strings, see ``_SYNTH_URL_SQL``)."""
+    d = F.col("doc_id")
+    d5 = (d % 5).cast("string")
+    did = d.cast("string")
+
+    def mk(prefix, suffix):
+        return F.concat(F.lit(prefix), d5, F.lit(suffix), did)
+
+    return (
+        F.when(d % 7 == 0, mk("https://news.example", ".com/p/"))
+        .when(d % 7 == 1, mk("http://WWW.Example", ".COM:80/p/"))
+        .when(d % 7 == 2, mk("https://shop.portal", ".co.uk/p/"))
+        .when(d % 7 == 3, mk("https://blog.site", ".org/p/"))
+        .when(d % 7 == 4, mk("https://api.site", ".org:443/p/"))
+        .when(d % 7 == 5, mk("https://files.archive", ".com.au/p/"))
+        .otherwise(mk("https://cdn.media", ".net/p/"))
+    )
+
+
+_SYNTH_URL_SQL = (
+    "CASE (doc_id % 7) "
+    "WHEN 0 THEN 'https://news.example' || (doc_id % 5) || '.com/p/' || doc_id "
+    "WHEN 1 THEN 'http://WWW.Example' || (doc_id % 5) || '.COM:80/p/' || doc_id "
+    "WHEN 2 THEN 'https://shop.portal' || (doc_id % 5) || '.co.uk/p/' || doc_id "
+    "WHEN 3 THEN 'https://blog.site' || (doc_id % 5) || '.org/p/' || doc_id "
+    "WHEN 4 THEN 'https://api.site' || (doc_id % 5) || '.org:443/p/' || doc_id "
+    "WHEN 5 THEN 'https://files.archive' || (doc_id % 5) || '.com.au/p/' || doc_id "
+    "ELSE 'https://cdn.media' || (doc_id % 5) || '.net/p/' || doc_id END"
+)
+
+_BLOCKLIST = ["example1.com", "media2.net", "site0.org", "site3.org"]
+
+
+def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-registrable-domain rollup: subdomains / case / ports of the
+    # same registrable domain must aggregate together
+    from contessa_spark.operators.domains import domain_stats
+
+    docs = _load(spark, sf_dir, "documents").withColumn("url", _synth_url_col())
+    return domain_stats(docs)
+
+
+def _url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.domains import domain_blocklist_filter
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return domain_blocklist_filter(docs, _BLOCKLIST)
+
+
+def _doc_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-level leakage flagging: every 50th vector plays the
+    # benchmark; threshold 0.4 is sized to the near-uniform testdata
+    # embeddings so both verdicts occur
+    from contessa_spark.operators.decontaminate import semantic_contamination
+
+    emb = _load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    return semantic_contamination(corpus, bench, threshold=0.4)
+
+
 def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real trained-BPE token budgets next to the ws baseline. Rows-only
     # by design: greedy lowest-rank merge application is sequential per
@@ -852,6 +919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "dedup_semantic": _dedup_semantic,
         "doc_decontamination": _doc_decontamination,
+        "doc_semantic_decontamination": _doc_semantic_decontamination,
+        "domain_stats": _domain_stats,
+        "url_blocklist": _url_blocklist,
         "embedding_near_dups": _embedding_near_dups,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "revenue_by_nation": _revenue_by_nation,
@@ -878,6 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------- oracle SQL
+
+def _domain_sql(url_expr: str) -> str:
+    from contessa_spark.functions.domain import registrable_domain_sql
+
+    return registrable_domain_sql(url_expr)
+
 
 def _stopword_array_sql() -> str:
     from contessa_spark.functions.textstats import STOPWORDS
@@ -1350,6 +1426,33 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node) "
             "SELECT d.doc_id, coalesce(comp.cid, d.doc_id) AS component_id "
             "FROM documents d LEFT JOIN comp ON d.doc_id = comp.node"
+        ),
+        "doc_semantic_decontamination": (
+            # benchmark = every 50th vector; per-corpus-row max cosine
+            # over the benchmark set, rounded 6dp (round is monotone:
+            # round-then-max == max-then-round)
+            "WITH b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings "
+            " WHERE vec_id % 50 = 0 "
+            " AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0), "
+            "c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            " WHERE vec_id % 50 <> 0 "
+            " AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) "
+            "SELECT c.vec_id, round(max(list_cosine_similarity(c.v, b.v)), 6) "
+            " AS max_cosine, "
+            " round(max(list_cosine_similarity(c.v, b.v)), 6) >= 0.4 AS contaminated "
+            "FROM c, b GROUP BY c.vec_id"
+        ),
+        "domain_stats": (
+            f"WITH u AS (SELECT *, {_SYNTH_URL_SQL} AS url FROM documents) "
+            f"SELECT {_domain_sql('url')} AS domain, "
+            "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, "
+            "count(DISTINCT lang)::BIGINT AS n_langs FROM u GROUP BY domain"
+        ),
+        "url_blocklist": (
+            f"WITH u AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents), "
+            f"d AS (SELECT doc_id, url, {_domain_sql('url')} AS domain FROM u) "
+            "SELECT doc_id, url FROM d WHERE domain IS NULL OR domain NOT IN "
+            "('example1.com', 'media2.net', 'site0.org', 'site3.org')"
         ),
         "dedup_semantic": (
             # SemDedup: md5-ordered pivot selection (shared with the

@@ -69,3 +69,81 @@ def ngram_contamination(
             (F.coalesce(F.col("hit_ngrams"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bench_vectors: int = 100_000,
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus rows whose maximum
+    cosine against ANY benchmark embedding reaches ``threshold`` —
+    catches paraphrased/translated benchmark leakage that n-gram
+    overlap can't see (the rephrased-MMLU failure mode).
+
+    Plan: the benchmark matrix (eval suites are small by nature) is
+    collected once and closed over a ``mapInPandas`` scorer — one numpy
+    GEMM per corpus Arrow batch, per-row max over the benchmark axis,
+    ZERO corpus shuffles (each row's verdict completes within its own
+    batch; same shape as ``brute_force_topk`` without even the final
+    window). ``max_bench_vectors`` guards the driver collect.
+
+    Zero-norm rows on either side are excluded (cosine undefined; see
+    the NaN-ranks-first trap in ``operators.similarity``).
+    Output: (id, max_cosine, contaminated); max_cosine rounded to 6 dp
+    (round is monotone, so round-then-max ≡ max-then-round).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from contessa_spark.operators.similarity import dim_check
+
+    sqnorm = F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+    bench_rows = (
+        benchmark.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .where(sqnorm > 0)
+        .take(max_bench_vectors + 1)
+    )
+    if len(bench_rows) > max_bench_vectors:
+        raise ValueError(
+            f"benchmark side exceeds max_bench_vectors={max_bench_vectors}; "
+            "a 'benchmark' that large should use the LSH join path"
+        )
+    out_schema = f"{id_col} long, max_cosine double, contaminated boolean"
+    if not bench_rows:
+        # nothing to leak: everything is clean with max_cosine NULL
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_cosine"),
+            F.lit(False).alias("contaminated"),
+        )
+    B = np.array([r["_v"] for r in bench_rows], dtype=np.float64)
+    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+    dim = B.shape[1]
+
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).where(dim_check(F.col("_v"), dim))
+    base = base.where(sqnorm > 0)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            U = V / np.linalg.norm(V, axis=1, keepdims=True)
+            mx = np.round((U @ B.T).max(axis=1), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "max_cosine": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return base.mapInPandas(score, schema=out_schema)

@@ -1,0 +1,176 @@
+"""Registrable-domain extraction, per-domain rollups, blocklist
+filtering, and embedding-level decontamination."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+URLS = [
+    "https://shop.example.co.uk:443/x?q=1",
+    "HTTP://WWW.Example.COM:80/a",
+    "https://news.bbc.co.uk/story",
+    "https://cdn.media.net/f.js",
+    "https://a.b.c.d.example.com.au/deep",
+    "https://localhost/",
+    "ftp://files.archive.org.uk/pub",
+    "not a url",
+    "",
+]
+
+
+def test_registrable_domain_spark_matches_python(spark):
+    from contessa_spark.functions.domain import (
+        py_registrable_domain,
+        registrable_domain_col,
+    )
+
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [
+        r["d"]
+        for r in df.select(
+            registrable_domain_col(F.col("url")).alias("d")
+        ).collect()
+    ]
+    want = [py_registrable_domain(u) for u in URLS]
+    assert got == want
+    # spot-check the interesting cases
+    assert want[0] == "example.co.uk"
+    assert want[1] == "example.com"
+    assert want[4] == "example.com.au"
+    assert want[5] == "localhost"
+    assert want[6] == "archive.org.uk"
+    assert want[7] is None and want[8] is None
+
+
+def test_registrable_domain_sql_matches_python():
+    import duckdb
+
+    from contessa_spark.functions.domain import (
+        py_registrable_domain,
+        registrable_domain_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in URLS])
+    got = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {registrable_domain_sql('url')} FROM u"
+        ).fetchall()
+    ]
+    assert got == [py_registrable_domain(u) for u in URLS]
+
+
+def test_domain_stats_aggregates_subdomains_together(spark):
+    from contessa_spark.operators.domains import domain_stats
+
+    rows = [
+        (1, "https://a.example.com/1", "en", 10),
+        (2, "HTTP://WWW.Example.COM:80/2", "de", 20),
+        (3, "https://b.example.com/3", "en", 30),
+        (4, "https://other.org/4", "en", 5),
+        (5, "junk", "fr", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, lang string, n_chars long"
+    )
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert got["example.com"]["n_docs"] == 3
+    assert got["example.com"]["total_chars"] == 60
+    assert got["example.com"]["n_langs"] == 2
+    assert got["other.org"]["n_docs"] == 1
+    assert got[None]["n_docs"] == 1  # non-URL rows stay accounted
+
+
+def test_blocklist_filter_inline_and_broadcast_paths_agree(spark):
+    from contessa_spark.operators.domains import domain_blocklist_filter
+
+    rows = [
+        (1, "https://bad.example.com/x"),
+        (2, "https://good.site.org/y"),
+        (3, "https://sub.bad2.net/z"),
+        (4, "not a url"),  # NULL domain: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["example.com", "bad2.net"]
+    a = sorted(
+        r["doc_id"] for r in domain_blocklist_filter(df, blocked).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in domain_blocklist_filter(df, blocked, max_inline=0).collect()
+    )
+    assert a == b == [2, 4]
+
+
+def test_blocklist_broadcast_path_is_anti_join(spark):
+    from contessa_spark.operators.domains import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "https://x.example.com/")], "doc_id long, url string"
+    )
+    plan = (
+        domain_blocklist_filter(df, ["example.com"], max_inline=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+
+
+def test_semantic_contamination_semantics(spark):
+    from contessa_spark.operators.decontaminate import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0])],  # zero-norm ignored
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # parallel to bench → contaminated
+            (2, [0.0, 1.0, 0.0]),   # orthogonal → clean
+            (3, [1.0, 1.0, 0.0]),   # cos=0.707 ≥ 0.7 → contaminated
+            (4, [0.0, 0.0, 0.0]),   # zero-norm: excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_contamination(corpus, bench, threshold=0.7).collect()
+    }
+    assert got[1]["contaminated"] and got[1]["max_cosine"] == 1.0
+    assert not got[2]["contaminated"] and got[2]["max_cosine"] == 0.0
+    assert got[3]["contaminated"] and got[3]["max_cosine"] == 0.707107
+    assert 4 not in got
+
+    # empty benchmark: everything clean, no job explosion
+    empty = bench.where(F.lit(False))
+    out = semantic_contamination(corpus, empty, threshold=0.7).collect()
+    assert len(out) == 4 and all(not r["contaminated"] for r in out)
+
+
+def test_semantic_contamination_no_corpus_shuffle(spark):
+    """The verdict completes inside each corpus Arrow batch: no
+    Exchange may appear on the corpus path (benchmark is closure-
+    broadcast into the MapInPandas scorer)."""
+    from contessa_spark.operators.decontaminate import semantic_contamination
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    plan = (
+        semantic_contamination(corpus, bench, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
