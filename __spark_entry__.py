@@ -427,6 +427,46 @@ def _doc_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     return semantic_contamination(corpus, bench, threshold=0.4)
 
 
+from contessa_spark.operators.linkgraph import SCALE as SCALE_PR
+
+
+def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # link-authority prior over a deterministic synthetic link graph
+    # (documents carry no outlinks at test scale): node = doc_id % 100,
+    # edge u → (7u+3) % 100 — a dense functional graph with cycles and
+    # dangling asymmetry. Integer fixed-point ranks hash-match the
+    # unrolled-CTE oracle exactly (see operators/linkgraph.py).
+    from contessa_spark.operators.linkgraph import pagerank
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 100).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    base = 15 * SCALE_PR // 100
+    parts = [
+        "WITH e AS (SELECT DISTINCT (doc_id % 100) AS src, "
+        "((doc_id * 7 + 3) % 100) AS dst FROM documents), "
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src), "
+        f"r0 AS (SELECT node, {SCALE_PR}::BIGINT AS r FROM n)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f", r{i + 1} AS (SELECT n.node, "
+            f"({base} + coalesce(s.c, 0))::BIGINT AS r FROM n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum((r{i}.r * 85) // (100 * od.outdeg))::BIGINT AS c "
+            f"FROM e JOIN od USING (src) JOIN r{i} ON r{i}.node = e.src "
+            f"GROUP BY e.dst) s ON n.node = s.node)"
+        )
+    parts.append(f" SELECT node, r AS rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
 def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real trained-BPE token budgets next to the ws baseline. Rows-only
     # by design: greedy lowest-rank merge application is sequential per
@@ -922,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_semantic_decontamination": _doc_semantic_decontamination,
         "domain_stats": _domain_stats,
         "url_blocklist": _url_blocklist,
+        "domain_pagerank": _domain_pagerank,
         "embedding_near_dups": _embedding_near_dups,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "revenue_by_nation": _revenue_by_nation,
@@ -1454,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, url FROM d WHERE domain IS NULL OR domain NOT IN "
             "('example1.com', 'media2.net', 'site0.org', 'site3.org')"
         ),
+        "domain_pagerank": _pagerank_oracle_sql(3),
         "dedup_semantic": (
             # SemDedup: md5-ordered pivot selection (shared with the
             # Spark side verbatim), argmax rounded-cosine assignment

@@ -1,0 +1,107 @@
+"""Link-graph operators: PageRank-style domain authority.
+
+Crawl pipelines rank domains by link authority (OPIC in Common Crawl's
+crawler; Google's PageRank in the original) and use the score as a
+quality prior next to content heuristics. This is the standard power
+iteration, Spark-first: each round is one join (distribute rank along
+out-edges) + one map-side-combined aggregate (sum contributions per
+target) — the textbook iterative-algorithm shape on a DataFrame
+engine, with the lineage-truncation lesson from ``dedup_components``
+applied (checkpoint every few rounds or the plan tree grows
+geometrically).
+
+DETERMINISM — why integer arithmetic: float power iteration sums
+contributions in physical-partition order, so the low bits of every
+rank depend on the layout, and an external oracle can never
+hash-match. Here ranks are scaled integers (``rank * SCALE``) and each
+contribution is ``rank * damping_num // (damping_den * out_degree)``
+— integer floor division. Integer sums are associative-commutative
+EXACTLY, so any partitioning, any engine, any summation order produces
+bit-identical ranks. The truncation error per round is < out_degree
+ulps of 1/SCALE — irrelevant at SCALE=10⁹ — and buys total
+reproducibility (same trick as ``sampling._threshold_hex_floor``).
+
+Dangling nodes (no out-edges) leak their rank mass (their share of the
+damping term vanishes) — the simple convention, shared by the oracle;
+redistributing dangling mass adds a per-round global sum for a
+cosmetic normalization this use case doesn't need (relative order is
+what a quality prior consumes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: ranks live in [0, SCALE] (sum ≈ n_nodes * SCALE)
+SCALE = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Integer-arithmetic PageRank over an edge list → (node,
+    rank_scaled) with ``rank_scaled ≈ rank × 10⁹``.
+
+    Nodes = distinct endpoints of ``edges`` (isolated nodes don't
+    exist in an edge list by definition). Parallel edges count once —
+    the edge set is ``distinct()``-ed so multigraph inputs don't
+    double-distribute rank (mirror in any oracle).
+
+    Per iteration: ``contrib(e) = rank[src] * damping_num //
+    (damping_den * outdeg[src])``; ``rank'[v] = base + Σ contrib`` with
+    ``base = (damping_den - damping_num) * SCALE // damping_den``.
+    Every rank starts at SCALE (the ×n_nodes convention, so no global
+    count is needed to initialize).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) is loop-invariant: compute once, reuse per round
+    ed = e.join(outdeg, "src")
+
+    base = (damping_den - damping_num) * SCALE // damping_den
+    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE).cast("long"))
+    for i in range(iters):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                # `div` is true LONG integer division — `/` would round
+                # through binary64 and reintroduce layout-dependent ulps
+                F.expr(
+                    f"(rank_scaled * {int(damping_num)}L) div "
+                    f"({int(damping_den)}L * outdeg)"
+                ).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("_sum"), F.lit(0)))
+            .cast("long")
+            .alias("rank_scaled"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # geometric plan growth is the iterative-algorithm tax on a
+            # lazy engine; truncate lineage like dedup_components does
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

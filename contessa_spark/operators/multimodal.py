@@ -163,16 +163,170 @@ def _decode_webp(payload: bytes) -> dict:
     return bad
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over JPEG entropy-coded data with byte
+    stuffing (FF 00 → literal FF) and restart-marker awareness; raises
+    ``_JpegScanEnd`` at any other FF-marker (end of scan)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise _JpegScanEnd()
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed FF
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _JpegRestart(nxt)
+            else:
+                raise _JpegScanEnd()
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+
+class _JpegScanEnd(Exception):
+    pass
+
+
+class _JpegRestart(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _huff_table(counts, symbols):
+    """Canonical JPEG Huffman table → dict (length, code) → symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """ITU-T T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_dc_mean(payload, sos_pos, components, qtables, dc_tables,
+                  ac_tables, scan_map, restart_interval):
+    """Mean pixel value of a BASELINE scan from DC coefficients only.
+
+    The IDCT's DC term is the block mean: with only F(0,0), every
+    sample is F(0,0)/8 + 128 (8-bit level shift), so the image mean is
+    the block-count-weighted mean of ``clamp(DC·Q[0]/8 + 128)`` —
+    EXACT up to block-edge padding when dims aren't multiples of 8.
+    AC coefficients share the bitstream, so they are Huffman-walked
+    (run/size + EOB/ZRL) and discarded. Restart markers reset DC
+    predictions per T.81 §E.2.4."""
+    br = _JpegBitReader(payload, sos_pos)
+    h_max = max(c["h"] for c in components)
+    v_max = max(c["v"] for c in components)
+    w, h = components[0]["width_img"], components[0]["height_img"]
+    mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+    preds = {c["id"]: 0 for c in components}
+    total = 0.0
+    blocks = 0
+    mcu_count = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-align (drop padding bits), then the RSTn marker
+                # must follow; DC predictions reset (T.81 §E.2.4)
+                br.bits = 0
+                br.nbits = 0
+                d = br.data
+                if (
+                    br.pos + 1 < len(d)
+                    and d[br.pos] == 0xFF
+                    and 0xD0 <= d[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                    preds = {c["id"]: 0 for c in components}
+                else:
+                    raise ValueError("expected restart marker")
+            mcu_count += 1
+            for c in components:
+                dc_t = dc_tables[scan_map[c["id"]][0]]
+                ac_t = ac_tables[scan_map[c["id"]][1]]
+                q0 = qtables[c["tq"]][0]
+                for _b in range(c["h"] * c["v"]):
+                    t = _huff_decode(br, dc_t)
+                    diff = _extend(br.read(t), t)
+                    preds[c["id"]] += diff
+                    mean_b = preds[c["id"]] * q0 / 8.0 + 128.0
+                    total += min(255.0, max(0.0, mean_b))
+                    blocks += 1
+                    k = 1
+                    while k <= 63:  # skip AC coefficients
+                        rs = _huff_decode(br, ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r + 1
+                        br.read(s)
+    if not blocks:
+        return None
+    return int(total // blocks)
+
+
 def _decode_jpeg(payload: bytes) -> dict:
-    """JPEG dims via the public-spec marker walk (ITU-T T.81): segments
-    are FF <marker> <len16 incl. itself>; the SOFn frame header holds
-    precision(1) height(2) width(2) big-endian. No entropy decode —
-    ``mean_byte`` stays None (the Pillow swap-in point), dims are real.
-    """
+    """JPEG decode via the public-spec marker walk (ITU-T T.81):
+    segments are FF <marker> <len16 incl. itself>; the SOFn frame
+    header holds precision(1) height(2) width(2) big-endian.
+
+    For BASELINE (SOF0, 8-bit, Huffman) images the entropy-coded scan
+    is decoded and ``mean_byte`` is the DC-only mean pixel value —
+    exact up to block-edge padding (see ``_jpeg_dc_mean``). Progressive
+    / arithmetic / 12-bit streams report dims only."""
     import struct
 
     i = 2  # past FFD8
     n = len(payload)
+    width = height = None
+    baseline = False
+    components = []
+    qtables = {}
+    dc_tables = {}
+    ac_tables = {}
+    restart_interval = 0
     while i + 4 <= n:
         if payload[i] != 0xFF:
             break  # desynchronized stream
@@ -190,19 +344,97 @@ def _decode_jpeg(payload: bytes) -> dict:
         if i + 2 > n:
             break
         (seg_len,) = struct.unpack_from(">H", payload, i)
+        seg = payload[i + 2 : i + seg_len]
         if marker in _JPEG_SOF_MARKERS:
-            if i + 7 > n:
+            if i + 8 > n:  # need precision(1)+h(2)+w(2)+ncomp(1) at i+2
                 break
+            precision = payload[i + 2]
             height, width = struct.unpack_from(">HH", payload, i + 3)
+            baseline = marker == 0xC0 and precision == 8
+            ncomp = payload[i + 7]
+            components = []
+            for ci in range(ncomp):
+                off = 6 + ci * 3
+                if off + 3 > len(seg):
+                    baseline = False
+                    break
+                components.append(
+                    {
+                        "id": seg[off],
+                        "h": seg[off + 1] >> 4,
+                        "v": seg[off + 1] & 0xF,
+                        "tq": seg[off + 2],
+                        "width_img": int(width),
+                        "height_img": int(height),
+                    }
+                )
+        elif marker == 0xDB:  # DQT
+            try:
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0xF
+                    p += 1
+                    vals = []
+                    for _ in range(64):
+                        if pq:
+                            vals.append(struct.unpack_from(">H", seg, p)[0])
+                            p += 2
+                        else:
+                            vals.append(seg[p])
+                            p += 1
+                    qtables[tq] = vals
+            except (IndexError, struct.error):
+                pass  # truncated table: ignore, mean falls back to None
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                if p + 17 + nsym > len(seg):
+                    break  # truncated table
+                symbols = list(seg[p + 17 : p + 17 + nsym])
+                tbl = _huff_table(counts, symbols)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                p += 17 + nsym
+        elif marker == 0xDD and len(seg) >= 2:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if width is None:
+                break  # SOS before any SOF: malformed
+            mean = None
+            if baseline and components and qtables and seg:
+                ns = seg[0]
+                scan_map = {}
+                ok = True
+                for si in range(ns):
+                    off = 1 + si * 2
+                    if off + 2 > len(seg):
+                        ok = False
+                        break
+                    scan_map[seg[off]] = (seg[off + 1] >> 4, seg[off + 1] & 0xF)
+                if ok:
+                    try:
+                        mean = _jpeg_dc_mean(
+                            payload, i + seg_len, components, qtables,
+                            dc_tables, ac_tables, scan_map, restart_interval,
+                        )
+                    except Exception:
+                        mean = None  # contained: dims stay trustworthy
             return {
                 "width": int(width),
                 "height": int(height),
-                "mean_byte": None,
+                "mean_byte": mean,
                 "ok": True,
             }
-        if marker == 0xDA:  # SOS before any SOF: malformed
-            break
         i += seg_len
+    if width is not None:
+        return {
+            "width": int(width),
+            "height": int(height),
+            "mean_byte": None,
+            "ok": True,
+        }
     return {"width": None, "height": None, "mean_byte": None, "ok": False}
 
 

@@ -174,3 +174,47 @@ def test_semantic_contamination_no_corpus_shuffle(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_pagerank_hand_computed_golden(spark):
+    from contessa_spark.operators.linkgraph import SCALE, pagerank
+
+    # 2-cycle conserves rank exactly: contrib = r*85//100, r' = base+c
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(cyc, iters=4).collect()}
+    assert got == {1: SCALE, 2: SCALE}
+
+    # star 1→{2,3}: python-int reference, same integer arithmetic
+    star = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    base = 15 * SCALE // 100
+    r = {1: SCALE, 2: SCALE, 3: SCALE}
+    for _ in range(3):
+        c = (r[1] * 85) // (100 * 2)
+        r = {1: base, 2: base + c, 3: base + c}
+    got = {g["node"]: g["rank_scaled"] for g in pagerank(star, iters=3).collect()}
+    assert got == r
+
+    # parallel edges collapse (multigraph input must not double-count)
+    multi = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "src long, dst long"
+    )
+    got_m = {
+        g["node"]: g["rank_scaled"] for g in pagerank(multi, iters=3).collect()
+    }
+    assert got_m == r
+
+
+def test_pagerank_layout_invariant(spark):
+    """Integer fixed-point arithmetic: bit-identical ranks whatever the
+    physical partitioning (float power iteration can't promise this —
+    the whole reason for the scaled-integer design)."""
+    from contessa_spark.operators.linkgraph import pagerank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(13), iters=3).collect()))
+    assert a == b and a

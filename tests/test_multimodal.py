@@ -431,3 +431,103 @@ def test_bmp_pixel_mean_real_bytes():
     got = decode_image_bytes(full[:-5])
     assert (got["width"], got["height"], got["ok"]) == (3, 2, True)
     assert got["mean_byte"] is None
+
+
+def _encode_baseline_jpeg_gray(block_values, blocks_x, restart_interval=0):
+    """Minimal BASELINE JPEG encoder (test-only): one grayscale
+    component, Q[0..63]=1, DC-only blocks (every AC = 0 → immediate
+    EOB). ``block_values`` are the target mean pixel values per 8×8
+    block in scan order; DC coefficient = 8·(v−128) exactly.
+
+    DC Huffman: categories 0..11 as canonical 4-bit codes.
+    AC Huffman: single symbol EOB=0x00 with code '0'.
+    """
+    import struct
+
+    blocks_y = (len(block_values) + blocks_x - 1) // blocks_x
+    w, h = blocks_x * 8, blocks_y * 8
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    # DC category codes: canonical len-4 codes 0000..1011; AC EOB: '0'
+    bits = []
+
+    def put(code, nbits):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def flush():
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bits.clear()
+        return bytes(out)
+
+    entropy = b""
+    pred = 0
+    for bi, v in enumerate(block_values):
+        if restart_interval and bi and bi % restart_interval == 0:
+            entropy += flush() + bytes([0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)])
+            pred = 0
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        put(s, 4)  # category symbol s has canonical code s (4 bits)
+        if s:
+            mag = diff if diff > 0 else diff + (1 << s) - 1
+            put(mag, s)
+        put(0, 1)  # AC EOB
+    entropy += flush()
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos + entropy + b"\xff\xd9"
+    )
+
+
+def test_jpeg_dc_mean_baseline_real_entropy_decode():
+    """Baseline JPEG pixel statistics are REAL now: the entropy-coded
+    scan is Huffman-decoded and mean_byte comes from the DC terms
+    (exact for DC-only blocks)."""
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    # constant gray 200, 2x1 blocks (16x8)
+    got = decode_image_bytes(_encode_baseline_jpeg_gray([200, 200], 2))
+    assert (got["width"], got["height"], got["ok"]) == (16, 8, True)
+    assert got["mean_byte"] == 200
+
+    # two-level image: mean of block means
+    got = decode_image_bytes(_encode_baseline_jpeg_gray([100, 200], 2))
+    assert got["mean_byte"] == 150
+
+    # negative-diff path + 4-block square
+    got = decode_image_bytes(_encode_baseline_jpeg_gray([50, 250, 50, 250], 2))
+    assert (got["width"], got["height"]) == (16, 16)
+    assert got["mean_byte"] == 150
+
+    # restart markers: DC predictions reset per interval
+    got = decode_image_bytes(
+        _encode_baseline_jpeg_gray([10, 20, 30, 40], 2, restart_interval=2)
+    )
+    assert got["mean_byte"] == 25
+
+    # truncated entropy data: dims survive, mean contained to None
+    full = _encode_baseline_jpeg_gray([100, 200], 2)
+    got = decode_image_bytes(full[: len(full) - 4])
+    assert got["ok"] is True and (got["width"], got["height"]) == (16, 8)
+    assert got["mean_byte"] is None
