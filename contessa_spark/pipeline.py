@@ -70,6 +70,11 @@ class PipelineConfig:
     mwl_max: float = 8.0
     n_buckets: int = 64  # lineage/checkpoint granularity (url mode)
     dedup_urls: bool = False  # keep earliest warc_ts per url pre-annotation
+    # honor <meta name=robots content=noindex> (C4-style opt-out): adds
+    # the noindex_absent keep-rule, computed JVM-side from the html
+    # column BEFORE it is dropped. Default off: inputs without an html
+    # column (and the historical goldens) are unaffected.
+    honor_noindex: bool = False
     # bucket_by="url": bucket = pmod(xxhash64(url), n_buckets) — stable
     #   across runs AND input layouts, but costs a full shuffle of the
     #   raw text before annotation (measured: +17 s of stage barrier +
@@ -116,7 +121,19 @@ def rule_defs(cfg: PipelineConfig) -> List[Dict]:
             "description": "mean word length in plausible band",
         },
         {"name": "url_not_null", "type": "not_null", "column": "url"},
-    ]
+    ] + (
+        [
+            {
+                "name": "noindex_absent",
+                "type": "expr",
+                "column": "noindex",
+                "expression": "NOT noindex",
+                "description": "no robots noindex meta directive",
+            }
+        ]
+        if cfg.honor_noindex
+        else []
+    )
 
 
 #: keep = conjunction of all quality rules (pii_scrub only flags/rewrites)
@@ -131,6 +148,10 @@ KEEP_RULES = [
     "mean_word_len_between",
     "url_not_null",
 ]
+
+
+def keep_rule_names(cfg: PipelineConfig) -> List[str]:
+    return KEEP_RULES + (["noindex_absent"] if cfg.honor_noindex else [])
 
 
 def annotate(df: DataFrame) -> DataFrame:
@@ -177,7 +198,7 @@ def with_decisions(
     for name, pred in preds.items():
         out = out.withColumn(f"rule_{name}", pred.eqNullSafe(F.lit(True)))
     keep = None
-    for name in KEEP_RULES:
+    for name in keep_rule_names(cfg):
         c = F.col(f"rule_{name}")
         keep = c if keep is None else (keep & c)
     out = out.withColumn("keep", keep)
@@ -361,9 +382,19 @@ class QualityFilterPipeline:
             bucket_col = F.pmod(
                 F.xxhash64(F.col("url")), F.lit(cfg.n_buckets)
             ).cast("int")
-        narrow = df.select("url", "warc_ts", "text", "lang").withColumn(
-            "bucket", bucket_col
-        )
+        narrow_cols = [F.col("url"), F.col("warc_ts"), F.col("text"), F.col("lang")]
+        if cfg.honor_noindex:
+            # computed at the scan, before html is dropped; inputs
+            # without an html column never opt out
+            from contessa_spark.functions.robots import noindex_col
+
+            noindex = (
+                noindex_col(F.col("html"))
+                if "html" in df.columns
+                else F.lit(False)
+            )
+            narrow_cols.append(noindex.alias("noindex"))
+        narrow = df.select(*narrow_cols).withColumn("bucket", bucket_col)
         if done:
             narrow = narrow.where(~F.col("bucket").isin(*done))
         if cfg.dedup_urls:
@@ -399,7 +430,9 @@ class QualityFilterPipeline:
             "pii_changed",
             "keep",
             "bucket",
-        ] + [f"rule_{n}" for n in KEEP_RULES]
+        ] + (["noindex"] if cfg.honor_noindex else []) + [
+            f"rule_{n}" for n in keep_rule_names(cfg)
+        ]
 
         if mode == "validate":
             decided = with_decisions(annotate(narrow), cfg, bucket=False)
@@ -441,7 +474,7 @@ class QualityFilterPipeline:
                 written = written.where(~F.col("bucket").isin(*done))
 
         rule_aggs = []
-        for n in KEEP_RULES + ["pii_scrub"]:
+        for n in keep_rule_names(cfg) + ["pii_scrub"]:
             col = (
                 ~F.col("pii_changed") if n == "pii_scrub" else F.col(f"rule_{n}")
             )
@@ -488,7 +521,7 @@ class QualityFilterPipeline:
         }
 
     def _quality_rows(self, lineage_pdf, task_ts: datetime) -> List[dict]:
-        names = KEEP_RULES + ["pii_scrub"]
+        names = keep_rule_names(self.cfg) + ["pii_scrub"]
         defs = {d["name"]: d for d in rule_defs(self.cfg)}
         out = []
         for n in names:

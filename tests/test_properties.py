@@ -254,3 +254,47 @@ def test_bloom_core_no_false_negatives(values, fpp):
         ) & np.uint64(1)
         hit &= bit.astype(bool)
     assert hit.all()
+
+
+# ---------------------------------------------------------------- r5 cores
+
+@given(st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=150, deadline=None)
+def test_jpeg_entropy_corruption_contained(seed, nflips):
+    """Bit-flipping a VALID baseline scan must never raise out of
+    _decode_jpeg: the entropy decoder's failure mode is mean=None (and
+    dims survive), not a lost row. Random garbage rarely reaches the
+    Huffman path — this starts from a real stream so it always does."""
+    import random
+
+    from contessa_spark.operators.multimodal import _decode_jpeg
+    from tests.test_multimodal import _encode_baseline_jpeg_gray
+
+    base = bytearray(_encode_baseline_jpeg_gray([100, 200, 50, 250], 2))
+    rnd = random.Random(seed)
+    for _ in range(nflips):
+        i = rnd.randrange(2, len(base))  # keep SOI intact
+        base[i] ^= 1 << rnd.randrange(8)
+    d = _decode_jpeg(bytes(base))
+    assert d["ok"] in (True, False)
+    assert d["mean_byte"] is None or 0 <= d["mean_byte"] <= 255
+
+
+@given(st.binary(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_image_container_walkers_never_raise(b):
+    """GIF/BMP/WebP/PNG walkers under the same garbage contract as the
+    WAV/MP4 ones."""
+    from contessa_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        _decode_webp,
+    )
+
+    assert _decode_gif(b"GIF89a" + b)["ok"] in (True, False)
+    assert _decode_bmp(b"BM" + b)["ok"] in (True, False)
+    assert _decode_webp(b"RIFF\x00\x00\x00\x00WEBP" + b)["ok"] in (True, False)
+    # (decode_image_bytes raises NotImplementedError on unknown magics
+    # BY DESIGN — the documented library swap-in stub; the Spark path
+    # contains it per record)
