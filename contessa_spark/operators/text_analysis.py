@@ -452,3 +452,39 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def quality_terciles(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020
+    §4.3): split each language's documents into head/middle/tail at the
+    terciles of a quality metric — the partition CCNet publishes its
+    corpus in (they use LM perplexity; any monotone quality score
+    slots in, and the SQL-expressible composite from
+    ``quality_scores`` keeps this oracle-checkable end to end).
+
+    Plan: one map-side-combined exact-percentile aggregate per language
+    (#langs rows — tiny) broadcast back onto the corpus; the bucket is
+    a CASE at the scan. Thresholds round to 6 dp before comparison
+    (Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the linear-interpolation definition — parity proven by
+    ``doc_length_quantiles``), so boundary docs land identically on
+    both engines. head = TOP tercile of the score.
+    Output: (id, lang, score, bucket)."""
+    thr = df.groupBy(lang_col).agg(
+        F.round(F.expr(f"percentile({score_col}, {1 / 3!r})"), 6).alias("_t1"),
+        F.round(F.expr(f"percentile({score_col}, {2 / 3!r})"), 6).alias("_t2"),
+    )
+    bucket = (
+        F.when(F.col(score_col) >= F.col("_t2"), F.lit("head"))
+        .when(F.col(score_col) >= F.col("_t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        df.join(F.broadcast(thr), lang_col)
+        .select(id_col, lang_col, score_col, bucket.alias("bucket"))
+    )

@@ -247,3 +247,30 @@ def test_tfidf_top_terms_semantics(spark):
     assert abs(got[(1, 2)][2] - round(idf_rare, 6)) < 1e-9
     # doc2: rare2 (1.693) beats common (1.0)
     assert got[(2, 1)][0] == "rare2" and got[(2, 2)][0] == "common"
+
+
+def test_quality_terciles_semantics(spark):
+    """Per-language tercile split: ~1/3 in each bucket per lang, head
+    holds the TOP scores, thresholds independent across languages."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.text_analysis import quality_terciles
+
+    rows = [(i, "en", float(i)) for i in range(90)] + [
+        (100 + i, "de", 1000.0 + i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_score double")
+    out = quality_terciles(df)
+    counts = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in out.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # en: 90 docs → ~30 per bucket; de: 30 docs → ~10 per bucket
+    for lang, total in (("en", 90), ("de", 30)):
+        for b in ("head", "middle", "tail"):
+            assert abs(counts[(lang, b)] - total / 3) <= 1, (lang, b, counts)
+    # head really is the top tercile within its own language
+    en = {r["doc_id"]: r["bucket"] for r in out.where(F.col("lang") == "en").collect()}
+    assert en[89] == "head" and en[0] == "tail" and en[45] == "middle"
+    de = {r["doc_id"]: r["bucket"] for r in out.where(F.col("lang") == "de").collect()}
+    assert de[129] == "head" and de[100] == "tail"  # de thresholds ≫ en scores
