@@ -208,8 +208,8 @@ def _doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _load(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", "lang").join(
-        quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
+    scored = quality_scores(docs, keep_cols=("lang",)).select(
+        "doc_id", "lang", "quality_score"
     )
     return quality_terciles(scored)
 

@@ -317,3 +317,33 @@ def test_normalize_text_udf_evaluated_once(spark):
     plan = _plan(normalize_text(docs))
     assert plan.count("ArrowEvalPython") == 1
     assert plan.count("_norm(") == 1
+
+
+def test_quality_terciles_two_scans_broadcast_thresholds(spark):
+    """The tercile split reads the corpus exactly twice (threshold pass
+    + probe pass — the minimum without persisting) and the per-lang
+    threshold table comes back as a BROADCAST, never a shuffle of the
+    corpus by language (the hot-lang window trap)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["doc_quality_terciles"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_pagerank_materializes_loop_invariants(spark):
+    """After the eager checkpoint of the edge/outdeg and node tables,
+    NO source scan may remain in the iteration plan — a lazy loop
+    re-reads the input once per round per use (measured: 14 scans for
+    3 iterations before the fix)."""
+    from contessa_spark.operators.linkgraph import pagerank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    plan = _plan(pagerank(edges, iters=3))
+    assert plan.count("FileScan parquet") == 0
