@@ -1626,9 +1626,12 @@ def oracle_sql() -> dict[str, str]:
             " (1 + doc_id % 2)::INT AS n_channels, (100 + doc_id % 400)::BIGINT AS n_frames "
             " FROM documents) "
             "SELECT doc_id AS media_id, sample_rate, n_channels, 16::INT AS bits_per_sample, "
-            "n_frames, round(n_frames / sample_rate * 1000, 6) AS duration_ms, "
-            "round(list_aggregate([abs((k * 37 + doc_id) % 2048 - 1024) "
-            " for k in range(0, n_frames * n_channels)], 'avg'), 6) AS mean_abs, "
+            "n_frames, floor(n_frames / sample_rate * 1000 * 1e6) / 1e6 AS duration_ms, "
+            # floor-to-6dp, not round: a mean landing on an exact .5 at
+            # the 7th digit splits banker's (python) from half-away
+            # (SQL) rounding — hit at sf0.1
+            "floor(list_aggregate([abs((k * 37 + doc_id) % 2048 - 1024) "
+            " for k in range(0, n_frames * n_channels)], 'avg') * 1e6) / 1e6 AS mean_abs, "
             "true AS ok FROM p"
         ),
         "media_video_decode": (

@@ -755,13 +755,23 @@ def decode_wav_bytes(payload: bytes) -> dict:
             data[: n_frames * block_align], dtype="<i2"
         ).astype(np.float64)
         if arr.size:
-            mean_abs = round(float(np.abs(arr).mean()), 6)
+            # FLOOR to 6 dp, not round(): the sample sums are exact
+            # integers in float64 on both engines, but a mean landing
+            # exactly on a .5 at the 7th digit splits python's banker's
+            # rounding from SQL's half-away (hit at sf0.1) — floor is
+            # the rounding with identical semantics everywhere (same
+            # lesson as sampling._threshold_hex_floor)
+            import math
+
+            mean_abs = math.floor(float(np.abs(arr).mean()) * 1e6) / 1e6
+    import math
+
     return {
         "sample_rate": int(sample_rate),
         "n_channels": int(n_channels),
         "bits_per_sample": int(bits),
         "n_frames": int(n_frames),
-        "duration_ms": round(n_frames / sample_rate * 1000, 6),
+        "duration_ms": math.floor(n_frames / sample_rate * 1000 * 1e6) / 1e6,
         "mean_abs": mean_abs,
         "ok": True,
     }

@@ -14,7 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+# driver gate runs at sf0.01; override to re-prove parity at a larger
+# scale factor (e.g. SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1)
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="module")
