@@ -298,3 +298,63 @@ def test_image_container_walkers_never_raise(b):
     # (decode_image_bytes raises NotImplementedError on unknown magics
     # BY DESIGN — the documented library swap-in stub; the Spark path
     # contains it per record)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=60))
+@settings(max_examples=30, deadline=None)
+def test_pagerank_integer_core_invariants(edges):
+    """Pure-python replica of the integer PageRank recurrence: rank
+    mass never exceeds n·SCALE (dangling nodes only LEAK mass, never
+    mint it) and every rank stays ≥ base. The Spark operator is golden-
+    and layout-tested against this same arithmetic elsewhere."""
+    from contessa_spark.operators.linkgraph import SCALE
+
+    e = sorted({(s, d) for s, d in edges})
+    nodes = sorted({x for p in e for x in p})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = 15 * SCALE // 100
+    r = {n: SCALE for n in nodes}
+    for _ in range(3):
+        nxt = {n: base for n in nodes}
+        for s, d in e:
+            nxt[d] += (r[s] * 85) // (100 * outdeg[s])
+        r = nxt
+    assert sum(r.values()) <= len(nodes) * SCALE
+    assert all(v >= base for v in r.values())
+
+
+_urlish = st.one_of(
+    st.text(max_size=40),
+    st.builds(
+        lambda scheme, sub, dom, suf, port, path: f"{scheme}://{sub}{dom}{suf}{port}{path}",
+        st.sampled_from(["http", "https", "HTTP", "ftp"]),
+        st.sampled_from(["", "www.", "WWW.", "a.b.", "cdn."]),
+        st.text(alphabet="abcXYZ09-", min_size=1, max_size=10),
+        st.sampled_from([".com", ".co.uk", ".org", ".com.au", "", ".x.y.z"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.sampled_from(["", "/", "/a/b?q=1#f"]),
+    ),
+)
+
+
+@given(_urlish)
+@settings(max_examples=300, deadline=None)
+def test_registrable_domain_python_matches_duckdb(url):
+    """The SQL scalar form and the pure core must agree on ANY input —
+    the oracle hash-match depends on it."""
+    import duckdb
+
+    from contessa_spark.functions.domain import (
+        py_registrable_domain,
+        registrable_domain_sql,
+    )
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {registrable_domain_sql('url')} FROM (SELECT ? AS url)",
+        [url],
+    ).fetchone()[0]
+    assert got == py_registrable_domain(url), url
