@@ -143,10 +143,22 @@ def semantic_dedup(
         ids = ids[order]
         V = np.array(list(pdf["_v"].iloc[order]), dtype=np.float64)
         U = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = np.round(U @ U.T, 6)
-        # row i drops iff any j<i has cosine >= threshold: strict upper
-        # triangle of the >=-mask, any per column
-        dropped = np.triu(S >= threshold, 1).any(axis=0)
+        # row i drops iff any j<i has cosine >= threshold. BLOCKED: a
+        # one-shot n×n similarity matrix would be 320 GB at the
+        # max_cell_rows cap; each block row only needs columns j < i,
+        # so peak memory is block×n (≈1.6 GB at the cap), and the
+        # decision for i is independent of whether j itself dropped
+        # (keep-first chains through dropped docs by design — see
+        # docstring), so no cross-block ordering state is needed.
+        dropped = np.zeros(n, dtype=bool)
+        block = 1024
+        for s0 in range(0, n, block):
+            e0 = min(s0 + block, n)
+            S = np.round(U[s0:e0] @ U[:e0].T, 6)  # (block, e0)
+            ge = S >= threshold
+            for i in range(s0, e0):
+                if i and ge[i - s0, :i].any():
+                    dropped[i] = True
         return pd.DataFrame(
             {
                 "_id": ids,
