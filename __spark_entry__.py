@@ -493,6 +493,21 @@ def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_spread(docs, spark), merges)
 
 
+def _doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SentencePiece-style unigram-LM token budgets next to the BPE ones
+    # (functions/unigram.py). Rows-only by design: Viterbi segmentation
+    # has no SQL form; optimality/round-trip/determinism are
+    # pytest-gated (tests/test_unigram.py)
+    from contessa_spark.functions.unigram import (
+        train_unigram,
+        unigram_token_counts,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    logp = train_unigram(docs, vocab_size=512, max_words=5000)
+    return unigram_token_counts(_spread(docs, spark), logp)
+
+
 def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FineWeb-edu/DCLM-style model-based quality scoring, self-
     # distilled from the heuristic keep rule (the standard bootstrap
@@ -999,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
         "doc_bpe_tokens": _doc_bpe_tokens,
+        "doc_unigram_tokens": _doc_unigram_tokens,
         "doc_quality_classifier": _doc_quality_classifier,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,

@@ -1,0 +1,242 @@
+"""Unigram-LM subword tokenizer (Kudo 2018, the SentencePiece
+"unigram" model) — the other production tokenizer family next to BPE
+(``functions/bpe.py``): instead of greedy merges, a vocabulary of
+pieces with log-probabilities, trained by EM + pruning, applied by
+Viterbi (the max-probability segmentation of each word).
+
+Scale shape — identical to the BPE module's: training consumes the
+bounded WORD-FREQUENCY table (one map-side-combined aggregate + hash
+sample + top-``max_words`` cap — ``bpe.word_frequencies``), never the
+corpus; the EM/prune loop runs driver-side over that dict; encoding
+ships the final piece table to workers inside a pandas UDF with a
+per-worker word memo.
+
+Simplifications vs the full SentencePiece trainer, chosen to keep the
+algorithm exact and deterministic rather than feature-complete:
+
+* hard-EM (Viterbi counts) instead of lattice forward-backward — the
+  standard "viterbi" training mode; counts come from each word's single
+  best segmentation;
+* pruning drops the pieces whose removal costs the least total
+  log-likelihood, ``prune_frac`` at a time, never single characters
+  (they are the OOV-proof floor — every word always segments);
+* determinism everywhere: ties in Viterbi break toward the LONGER
+  first piece then lexicographic; pruning ties break lexicographic;
+  probabilities are ratios of integer counts (float64, but computed in
+  one fixed order from a sorted dict — no distributed float sums).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_PIECE_LEN = 16
+
+
+def _viterbi(word: str, logp: Dict[str, float]) -> List[str]:
+    """Max-log-prob segmentation of ``word`` into vocabulary pieces.
+    Assumes every single character of ``word`` is in ``logp`` (the
+    trainer guarantees it for trained text; unseen characters fall
+    back to a floor score so encoding never fails)."""
+    n = len(word)
+    # best[i] = (score, backpointer_start, piece)
+    NEG = float("-inf")
+    floor = min(logp.values(), default=-10.0) - 10.0  # unseen-char score
+    best: List[Tuple[float, int]] = [(NEG, -1)] * (n + 1)
+    best[0] = (0.0, -1)
+    piece_at: List[Optional[str]] = [None] * (n + 1)
+    for end in range(1, n + 1):
+        # longer pieces first: equal-score ties keep the longest piece
+        for start in range(max(0, end - MAX_PIECE_LEN), end):
+            prev = best[start][0]
+            if prev == NEG:
+                continue
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start > 1:
+                    continue
+                lp = floor  # single unseen char: floor fallback
+            score = prev + lp
+            cur = best[end][0]
+            if score > cur or (
+                score == cur
+                and piece_at[end] is not None
+                and (
+                    len(piece) > len(piece_at[end])
+                    or (len(piece) == len(piece_at[end]) and piece < piece_at[end])
+                )
+            ):
+                best[end] = (score, start)
+                piece_at[end] = piece
+    out: List[str] = []
+    i = n
+    while i > 0:
+        start = best[i][1]
+        out.append(word[start:i])
+        i = start
+    out.reverse()
+    return out
+
+
+def train_unigram_from_counts(
+    word_counts: Dict[str, int],
+    vocab_size: int = 1024,
+    seed_factor: int = 4,
+    em_iters: int = 2,
+    prune_frac: float = 0.25,
+) -> Dict[str, float]:
+    """Train a unigram piece table → {piece: logprob}.
+
+    Seed = all substrings (≤ ``MAX_PIECE_LEN``) of the corpus words,
+    scored by occurrence-weighted frequency, capped at
+    ``seed_factor × vocab_size`` (single characters always included).
+    Then repeat: hard-EM re-estimation (Viterbi counts) → prune the
+    lowest-likelihood-loss pieces ``prune_frac`` at a time — until the
+    vocabulary fits ``vocab_size``, finishing with ``em_iters`` final
+    EM passes."""
+    words = sorted(
+        (w, int(c)) for w, c in word_counts.items() if w
+    )  # fixed iteration order: determinism
+    if not words:
+        return {}
+
+    # ---- seed: substring counts (occurrence-weighted), chars forced in
+    sub_counts: Dict[str, int] = {}
+    for w, c in words:
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(L, i + MAX_PIECE_LEN) + 1):
+                s = w[i:j]
+                sub_counts[s] = sub_counts.get(s, 0) + c
+    chars = {w[i] for w, _ in words for i in range(len(w))}
+    multi = sorted(
+        ((s, c) for s, c in sub_counts.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, seed_factor * vocab_size - len(chars))]
+    vocab = {s for s, _ in multi} | chars
+
+    def em_pass(v: set) -> Dict[str, float]:
+        total0 = sum(sub_counts.get(p, 1) for p in sorted(v))
+        logp = {
+            p: math.log(sub_counts.get(p, 1) / total0) for p in sorted(v)
+        }
+        for _ in range(em_iters):
+            counts: Dict[str, float] = {}
+            for w, c in words:
+                for piece in _viterbi(w, logp):
+                    counts[piece] = counts.get(piece, 0.0) + c
+            total = sum(counts.get(p, 0.0) + 1e-9 for p in sorted(v))
+            logp = {
+                p: math.log((counts.get(p, 0.0) + 1e-9) / total)
+                for p in sorted(v)
+            }
+        return logp
+
+    logp = em_pass(vocab)
+    while len(vocab) > vocab_size:
+        # likelihood loss of removing piece p ≈ its Viterbi usage mass;
+        # unused pieces go first, then the lightest users
+        usage: Dict[str, float] = {p: 0.0 for p in vocab}
+        for w, c in words:
+            for piece in _viterbi(w, logp):
+                usage[piece] = usage.get(piece, 0.0) + c
+        removable = sorted(
+            ((p, u) for p, u in usage.items() if len(p) > 1),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        n_drop = min(
+            max(1, int(len(vocab) * prune_frac)),
+            max(0, len(vocab) - vocab_size),
+            len(removable),
+        )
+        if n_drop == 0:
+            break  # only single chars left above target: cannot shrink
+        for p, _ in removable[:n_drop]:
+            vocab.discard(p)
+        logp = em_pass(vocab)
+    return logp
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    sample_fraction: Optional[float] = None,
+    max_words: int = 50_000,
+    seed: int = 42,
+    id_col: Optional[str] = None,
+) -> Dict[str, float]:
+    from contessa_spark.functions.bpe import word_frequencies
+
+    freq = word_frequencies(
+        df, text_col, sample_fraction, max_words, seed, id_col
+    ).collect()
+    return train_unigram_from_counts(
+        {r["word"]: r["n"] for r in freq}, vocab_size
+    )
+
+
+def unigram_encode_udf(logp: Dict[str, float]):
+    """pandas UDF: text → array<string> of unigram pieces (lowercased
+    whitespace words, Viterbi per word, per-worker memo — the same
+    Zipf-word memoization as the BPE apply)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    memo: Dict[str, List[str]] = {}
+
+    def _enc(texts):
+        out = []
+        for t in texts:
+            toks: List[str] = []
+            for w in (t if isinstance(t, str) else "").lower().split():
+                got = memo.get(w)
+                if got is None:
+                    got = _viterbi(w, logp)
+                    if len(memo) < 2_000_000:
+                        memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    _enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_enc, T.ArrayType(T.StringType()))
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    logp: Dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, unigram_tokens): token budget under the trained unigram
+    vocabulary — comparable with ``bpe_token_counts``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    memo: Dict[str, int] = {}
+
+    def _cnt(texts):
+        out = []
+        for t in texts:
+            n = 0
+            for w in (t if isinstance(t, str) else "").lower().split():
+                got = memo.get(w)
+                if got is None:
+                    got = len(_viterbi(w, logp))
+                    if len(memo) < 2_000_000:
+                        memo[w] = got
+                n += got
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    _cnt.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_cnt, T.LongType())
+    return df.select(
+        F.col(id_col), udf(F.col(text_col)).alias("unigram_tokens")
+    )
