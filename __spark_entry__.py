@@ -493,6 +493,28 @@ def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_spread(docs, spark), merges)
 
 
+def _doc_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style badlist: word-set flag (pure JVM) + AC phrase count.
+    # The oracle counts phrase occurrences with the replace() trick,
+    # which equals the AC overlapping count only for phrases that
+    # cannot overlap themselves — 'row scan' cannot.
+    from contessa_spark.functions.badwords import badword_stats
+
+    return badword_stats(
+        _load(spark, sf_dir, "documents"),
+        words=["slow"],
+        phrases=["row scan"],
+    )
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from contessa_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
 def _doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SentencePiece-style unigram-LM token budgets next to the BPE ones
     # (functions/unigram.py). Rows-only by design: Viterbi segmentation
@@ -1004,12 +1026,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
-        # 51 queries carry oracles but the driver's correctness window
-        # is 50: the capped-Jaccard variant sits just outside it BY
-        # CHOICE (it is the cap-coverage twin of the in-window
-        # dedup_ngram_jaccard, and tests/test_oracle_parity.py checks
-        # its oracle on every pytest run regardless of position)
+        # 53 queries carry oracles but the driver's correctness window
+        # is 50: the three below sit outside it BY CHOICE (the
+        # capped-Jaccard variant is the cap-coverage twin of the
+        # in-window dedup_ngram_jaccard; doc_chunks and doc_badwords
+        # are r5 additions that arrived after the window filled).
+        # tests/test_oracle_parity.py checks EVERY oracle on every
+        # pytest run regardless of position — at sf0.01, and at sf0.001
+        # / sf0.1 via SPARK_GRAFT_ORACLE_SF.
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
+        "doc_chunks": _doc_chunks,
+        "doc_badwords": _doc_badwords,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
@@ -1546,6 +1573,30 @@ def oracle_sql() -> dict[str, str]:
             "('example1.com', 'media2.net', 'site0.org', 'site3.org')"
         ),
         "domain_pagerank": _pagerank_oracle_sql(3),
+        "doc_badwords": (
+            f"WITH w AS (SELECT doc_id, text, "
+            f"list_transform(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> ''), x -> lower(x)) AS ws "
+            f"FROM documents), "
+            "s AS (SELECT doc_id, list_has_any(ws, ['slow']) AS has_blocked_word, "
+            " CASE WHEN length(lower(text)) = 0 THEN 0 "
+            "  ELSE (length(lower(text)) - length(replace(lower(text), 'row scan', ''))) // length('row scan') END "
+            " ::BIGINT AS phrase_hits FROM w) "
+            "SELECT doc_id, has_blocked_word, phrase_hits, "
+            "(has_blocked_word OR phrase_hits > 0) AS blocked FROM s"
+        ),
+        "doc_chunks": (
+            # sliding-window chunking: step=56, width 64 — integer
+            # chunk count (n-8+55) // 56 via DuckDB // == Spark div
+            f"WITH w AS (SELECT doc_id, "
+            f"list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> '') AS ws "
+            f"FROM documents), "
+            "c AS (SELECT doc_id, ws, len(ws) AS n, "
+            " greatest(1, (len(ws) - 8 + 55) // 56) AS n_chunks FROM w WHERE len(ws) > 0) "
+            "SELECT doc_id, i::INT AS chunk_id, "
+            "len(ws[i*56 + 1 : i*56 + 64])::BIGINT AS n_tokens, "
+            "array_to_string(ws[i*56 + 1 : i*56 + 64], ' ') AS chunk_text "
+            "FROM c, unnest(range(0, n_chunks)) AS t(i)"
+        ),
         "dedup_semantic": (
             # SemDedup: md5-ordered pivot selection (shared with the
             # Spark side verbatim), argmax rounded-cosine assignment

@@ -499,3 +499,62 @@ def quality_terciles(
         df.join(F.broadcast(thr), lang_col)
         .select(id_col, lang_col, score_col, bucket.alias("bucket"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split long documents into ≤
+    ``chunk_tokens``-word chunks whose starts advance by
+    ``chunk_tokens − overlap`` (consecutive chunks share ``overlap``
+    words of context) — the standard context-window packing prep for
+    training/embedding long pages.
+
+    Pure JVM: one words-array materialization, an integer chunk count
+    ``max(1, ceil((n − overlap) / step))`` computed with `div`
+    arithmetic (engine-exact — float ceil would differ in edge ulps),
+    ``posexplode(sequence(...))`` to emit chunk indexes, and
+    ``slice``/``concat_ws`` per chunk. Empty documents yield no
+    chunks. No shuffle, no UDF; output rows ≈ total_words/step.
+
+    Output: (id, chunk_id, n_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be smaller than chunk_tokens={chunk_tokens}"
+        )
+    from contessa_spark.functions.textstats import spark_words_col
+
+    step = chunk_tokens - overlap
+    words = df.select(
+        F.col(id_col), spark_words_col(text_col).alias("_w")
+    ).withColumn("_n", F.size("_w"))
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(_n - {overlap} + {step} - 1) div {step}")
+    )
+    chunks = (
+        words.where(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_w",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "_start"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice(
+                F.col("_w"), F.col("chunk_id") * step + 1, chunk_tokens
+            ).alias("_cw"),
+        )
+    )
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.size("_cw").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_cw")).alias("chunk_text"),
+    )

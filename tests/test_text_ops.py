@@ -274,3 +274,37 @@ def test_quality_terciles_semantics(spark):
     assert en[89] == "head" and en[0] == "tail" and en[45] == "middle"
     de = {r["doc_id"]: r["bucket"] for r in out.where(F.col("lang") == "de").collect()}
     assert de[129] == "head" and de[100] == "tail"  # de thresholds ≫ en scores
+
+
+def test_chunk_documents_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "a b"),          # shorter than one chunk → 1 chunk
+            (3, ""),             # empty → no chunks
+            (4, " ".join(f"x{i}" for i in range(9))),  # exact multiple
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=4, overlap=1).collect())
+    )
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),
+        (1, 2, 4, "w6 w7 w8 w9"),
+        (2, 0, 2, "a b"),
+        (4, 0, 4, "x0 x1 x2 x3"),
+        (4, 1, 4, "x3 x4 x5 x6"),
+        (4, 2, 3, "x6 x7 x8"),
+    ]
+    # every word of every non-empty doc appears in some chunk; adjacent
+    # chunks overlap by exactly `overlap` words (except the tail)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
