@@ -1,5 +1,8 @@
 """Blocklist-phrase matching — the C4 §2.1 "bad words" rule at scale.
 
+Reference parity: no counterpart in contessa (SURVEY.md §2
+extension — the C4 rule family next to functions/textstats.py).
+
 Two paths, chosen by what the blocklist contains:
 
 * ``blocked_word_col``: single WORDS → pure-JVM ``arrays_overlap``

@@ -300,3 +300,23 @@ def bpe_token_counts(
         bpe_token_count_udf(merges, byte_level)(F.col(text_col)).alias("bpe_tokens"),
         ws.alias("ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------- persistence
+
+def save_merges(
+    spark, merges: List[Tuple[str, str]], path: str
+) -> None:
+    """Persist a trained merge table as parquet (rank, left, right) —
+    the artifact a pipeline trains once and every later job loads
+    (tokenizer drift between training and packing silently changes
+    every token budget; a persisted table pins it)."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> List[Tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

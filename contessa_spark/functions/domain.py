@@ -13,6 +13,10 @@ SQL-reproducibility: the same rule re-expresses verbatim in the
 DuckDB oracle — see ``registrable_domain_sql``). Swap-in point for a
 full PSL: replace ``MULTIPART_SUFFIXES``.
 
+Reference parity: contessa has no URL layer — this is a
+forward-looking training-pipeline extension (SURVEY.md §2 scope
+note), like the rest of the domain/web operators.
+
 Everything is pure JVM Column code (regex + CASE; codegen, no UDF) —
 on a 10¹²-row crawl the domain key is computed inside the scan
 projection and feeds a map-side-combined aggregate.

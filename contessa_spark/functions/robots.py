@@ -4,6 +4,9 @@ pipelines honor before any content-quality rule (C4 §2.1 removes pages
 same) — a page that asked not to be indexed should not become training
 data either.
 
+Reference parity: no counterpart in contessa (SURVEY.md §2
+extension — the web-pipeline rule family).
+
 Detection is a pure-JVM ``rlike`` over the lowercased html (two regex
 forms cover both attribute orders) — whole-stage codegen at the scan,
 no UDF, evaluated BEFORE the pipeline drops the html column. This is

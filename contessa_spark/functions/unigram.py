@@ -4,6 +4,9 @@
 pieces with log-probabilities, trained by EM + pruning, applied by
 Viterbi (the max-probability segmentation of each word).
 
+Reference parity: no counterpart in contessa (SURVEY.md §2
+extension — tokenizer family, next to functions/bpe.py).
+
 Scale shape — identical to the BPE module's: training consumes the
 bounded WORD-FREQUENCY table (one map-side-combined aggregate + hash
 sample + top-``max_words`` cap — ``bpe.word_frequencies``), never the
@@ -240,3 +243,19 @@ def unigram_token_counts(
     return df.select(
         F.col(id_col), udf(F.col(text_col)).alias("unigram_tokens")
     )
+
+
+# ---------------------------------------------------------------- persistence
+
+def save_vocab(spark, logp: Dict[str, float], path: str) -> None:
+    """Persist the trained piece table as parquet (piece, logprob) —
+    same pin-the-artifact contract as ``bpe.save_merges``."""
+    spark.createDataFrame(
+        sorted(logp.items()), "piece string, logprob double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_vocab(spark, path: str) -> Dict[str, float]:
+    return {
+        r["piece"]: r["logprob"] for r in spark.read.parquet(path).collect()
+    }

@@ -10,6 +10,9 @@ engine, with the lineage-truncation lesson from ``dedup_components``
 applied (checkpoint every few rounds or the plan tree grows
 geometrically).
 
+Reference parity: no counterpart in contessa (SURVEY.md §2
+extension — crawl-quality priors).
+
 DETERMINISM — why integer arithmetic: float power iteration sums
 contributions in physical-partition order, so the low bits of every
 rank depend on the layout, and an external oracle can never

@@ -102,3 +102,27 @@ def test_spark_unigram_counts_partition_invariant(spark):
     }
     for d in a:
         assert words[d] <= a[d] <= chars[d]
+
+
+def test_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """Merges and vocab persist/reload bit-identically — the artifact
+    contract that pins tokenization across pipeline runs."""
+    from contessa_spark.functions.bpe import (
+        load_merges,
+        save_merges,
+        train_bpe_from_counts,
+    )
+    from contessa_spark.functions.unigram import (
+        load_vocab,
+        save_vocab,
+        train_unigram_from_counts,
+    )
+
+    counts = {"hello": 10, "world": 8, "held": 4}
+    merges = train_bpe_from_counts(counts, 20)
+    save_merges(spark, merges, str(tmp_path / "m"))
+    assert load_merges(spark, str(tmp_path / "m")) == merges
+
+    logp = train_unigram_from_counts(counts, vocab_size=16)
+    save_vocab(spark, logp, str(tmp_path / "v"))
+    assert load_vocab(spark, str(tmp_path / "v")) == logp
