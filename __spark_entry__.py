@@ -1239,7 +1239,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sc.doc_id, sc.lang, sc.quality_score, "
             "CASE WHEN sc.quality_score >= thr.t2 THEN 'head' "
             " WHEN sc.quality_score >= thr.t1 THEN 'middle' ELSE 'tail' END AS bucket "
-            "FROM sc JOIN thr USING (lang)"
+            "FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang"
         ),
         "doc_keep_heuristic": textstats + (
             "SELECT doc_id, (n_chars >= 100 AND n_chars <= 20000 AND symbol_ratio < 0.15 "
@@ -1548,17 +1548,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_semantic_decontamination": (
             # benchmark = every 50th vector; per-corpus-row max cosine
             # over the benchmark set, rounded 6dp (round is monotone:
-            # round-then-max == max-then-round)
+            # round-then-max == max-then-round). Accounting is TOTAL:
+            # zero-norm/NULL corpus rows keep a row with NULL cosine
+            # and contaminated=false (left join), matching the operator
             "WITH b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings "
             " WHERE vec_id % 50 = 0 "
             " AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0), "
             "c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
-            " WHERE vec_id % 50 <> 0 "
-            " AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) "
-            "SELECT c.vec_id, round(max(list_cosine_similarity(c.v, b.v)), 6) "
-            " AS max_cosine, "
-            " round(max(list_cosine_similarity(c.v, b.v)), 6) >= 0.4 AS contaminated "
-            "FROM c, b GROUP BY c.vec_id"
+            " WHERE vec_id % 50 <> 0), "
+            "s AS (SELECT c.vec_id, round(max(list_cosine_similarity(c.v, b.v)), 6) "
+            "  AS max_cosine FROM c, b "
+            "  WHERE list_dot_product(c.v, c.v) > 0 GROUP BY c.vec_id) "
+            "SELECT c.vec_id, s.max_cosine, "
+            "coalesce(s.max_cosine >= 0.4, false) AS contaminated "
+            "FROM c LEFT JOIN s USING (vec_id)"
         ),
         "domain_stats": (
             f"WITH u AS (SELECT *, {_SYNTH_URL_SQL} AS url FROM documents) "

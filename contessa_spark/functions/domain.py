@@ -42,13 +42,20 @@ MULTIPART_SUFFIXES = (
 )
 
 
-#: ONE regex does scheme check + www-strip + host capture (port and
-#: everything after the first ``:`` excluded). A chain of three regex
-#: ops here once blew whole-stage codegen past janino's 64 KB method
-#: limit: Column trees can't share subexpressions, so the host chain
-#: re-embeds into every one of the ~10 places the domain CASE uses it,
-#: multiplying tree size by chain length. Keep this ONE node.
-_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[wW][wW][wW]\.)?([^/?#:]*)"
+#: ONE regex does scheme check + userinfo-strip + www-strip + host
+#: capture (port and everything after the first ``:`` excluded). A
+#: chain of three regex ops here once blew whole-stage codegen past
+#: janino's 64 KB method limit: Column trees can't share
+#: subexpressions, so the host chain re-embeds into every one of the
+#: ~10 places the domain CASE uses it, multiplying tree size by chain
+#: length. Keep this ONE node.
+#:
+#: The userinfo group ``(?:[^/?#]*@)?`` is greedy, so it consumes up
+#: to the LAST ``@`` before the path — ``user:pass@host`` and even the
+#: invalid ``a@b@host`` both resolve to ``host`` (without it,
+#: ``https://anything@blocked.com/`` captured ``anything@blocked.com``
+#: and sailed past the domain blocklist).
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?(?:[wW][wW][wW]\.)?([^/?#:]*)"
 
 
 def host_col(url: Column) -> Column:
@@ -80,7 +87,7 @@ def registrable_domain_sql(url_expr: str) -> str:
     decision-for-decision."""
     host = (
         f"lower(regexp_extract({url_expr}, "
-        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[wW][wW][wW]\\.)?([^/?#:]*)', 1))"
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#]*@)?(?:[wW][wW][wW]\\.)?([^/?#:]*)', 1))"
     )
     suffixes = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
     l = f"string_split({host}, '.')"

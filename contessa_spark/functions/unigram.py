@@ -40,15 +40,26 @@ from pyspark.sql import functions as F
 MAX_PIECE_LEN = 16
 
 
-def _viterbi(word: str, logp: Dict[str, float]) -> List[str]:
+def _vocab_floor(logp: Dict[str, float]) -> float:
+    """Unseen-single-char fallback score for a piece table — one
+    O(vocab) scan; compute ONCE per vocabulary and pass into
+    ``_viterbi`` (an encode UDF calls _viterbi per unmemoized word:
+    recomputing the min there was an O(vocab) scan in the hot path)."""
+    return min(logp.values(), default=-10.0) - 10.0
+
+
+def _viterbi(
+    word: str, logp: Dict[str, float], floor: Optional[float] = None
+) -> List[str]:
     """Max-log-prob segmentation of ``word`` into vocabulary pieces.
     Assumes every single character of ``word`` is in ``logp`` (the
     trainer guarantees it for trained text; unseen characters fall
-    back to a floor score so encoding never fails)."""
+    back to the ``floor`` score so encoding never fails)."""
     n = len(word)
     # best[i] = (score, backpointer_start, piece)
     NEG = float("-inf")
-    floor = min(logp.values(), default=-10.0) - 10.0  # unseen-char score
+    if floor is None:
+        floor = _vocab_floor(logp)
     best: List[Tuple[float, int]] = [(NEG, -1)] * (n + 1)
     best[0] = (0.0, -1)
     piece_at: List[Optional[str]] = [None] * (n + 1)
@@ -130,8 +141,9 @@ def train_unigram_from_counts(
         }
         for _ in range(em_iters):
             counts: Dict[str, float] = {}
+            floor = _vocab_floor(logp)
             for w, c in words:
-                for piece in _viterbi(w, logp):
+                for piece in _viterbi(w, logp, floor):
                     counts[piece] = counts.get(piece, 0.0) + c
             total = sum(counts.get(p, 0.0) + 1e-9 for p in sorted(v))
             logp = {
@@ -145,8 +157,9 @@ def train_unigram_from_counts(
         # likelihood loss of removing piece p ≈ its Viterbi usage mass;
         # unused pieces go first, then the lightest users
         usage: Dict[str, float] = {p: 0.0 for p in vocab}
+        floor = _vocab_floor(logp)
         for w, c in words:
-            for piece in _viterbi(w, logp):
+            for piece in _viterbi(w, logp, floor):
                 usage[piece] = usage.get(piece, 0.0) + c
         removable = sorted(
             ((p, u) for p, u in usage.items() if len(p) > 1),
@@ -192,6 +205,7 @@ def unigram_encode_udf(logp: Dict[str, float]):
     from pyspark.sql import types as T
 
     memo: Dict[str, List[str]] = {}
+    floor = _vocab_floor(logp)
 
     def _enc(texts):
         out = []
@@ -200,7 +214,7 @@ def unigram_encode_udf(logp: Dict[str, float]):
             for w in (t if isinstance(t, str) else "").lower().split():
                 got = memo.get(w)
                 if got is None:
-                    got = _viterbi(w, logp)
+                    got = _viterbi(w, logp, floor)
                     if len(memo) < 2_000_000:
                         memo[w] = got
                 toks.extend(got)
@@ -223,6 +237,7 @@ def unigram_token_counts(
     from pyspark.sql import types as T
 
     memo: Dict[str, int] = {}
+    floor = _vocab_floor(logp)
 
     def _cnt(texts):
         out = []
@@ -231,7 +246,7 @@ def unigram_token_counts(
             for w in (t if isinstance(t, str) else "").lower().split():
                 got = memo.get(w)
                 if got is None:
-                    got = len(_viterbi(w, logp))
+                    got = len(_viterbi(w, logp, floor))
                     if len(memo) < 2_000_000:
                         memo[w] = got
                 n += got

@@ -91,15 +91,19 @@ def semantic_contamination(
     batch; same shape as ``brute_force_topk`` without even the final
     window). ``max_bench_vectors`` guards the driver collect.
 
-    Zero-norm rows on either side are excluded (cosine undefined; see
-    the NaN-ranks-first trap in ``operators.similarity``).
+    Accounting stays TOTAL: every corpus row appears in the output
+    exactly once. Rows for which cosine is undefined — NULL vector,
+    dimension mismatch with the benchmark, zero (or NaN) norm — are
+    emitted with ``max_cosine`` NULL and ``contaminated`` false rather
+    than silently dropped, so callers joining verdicts back by id never
+    lose documents. Zero-norm BENCHMARK rows are still excluded from
+    the benchmark matrix (see the NaN-ranks-first trap in
+    ``operators.similarity``).
     Output: (id, max_cosine, contaminated); max_cosine rounded to 6 dp
     (round is monotone, so round-then-max ≡ max-then-round).
     """
     import numpy as np
     import pandas as pd
-
-    from contessa_spark.operators.similarity import dim_check
 
     sqnorm = F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
     bench_rows = (
@@ -127,22 +131,37 @@ def semantic_contamination(
     base = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).where(dim_check(F.col("_v"), dim))
-    base = base.where(sqnorm > 0)
+    )
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["_id"].to_numpy(dtype=np.int64)
-            V = np.array(list(pdf["_v"]), dtype=np.float64)
-            U = V / np.linalg.norm(V, axis=1, keepdims=True)
-            mx = np.round((U @ B.T).max(axis=1), 6)
+            vs = list(pdf["_v"])
+            # validity decided IN the batch (not a pre-filter), so
+            # excluded rows still get an output row with NULL cosine
+            valid = np.fromiter(
+                (v is not None and len(v) == dim for v in vs),
+                dtype=bool,
+                count=len(vs),
+            )
+            mx = np.full(len(vs), np.nan)
+            vidx = np.flatnonzero(valid)
+            if len(vidx):
+                V = np.array([vs[i] for i in vidx], dtype=np.float64)
+                nrm = np.linalg.norm(V, axis=1)
+                ok = nrm > 0  # False for zero AND NaN norms
+                if ok.any():
+                    U = V[ok] / nrm[ok, None]
+                    mx[vidx[ok]] = np.round((U @ B.T).max(axis=1), 6)
+            # NaN slots become NULL through Arrow (from_pandas masks
+            # NaN); contaminated is a real boolean either way
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "max_cosine": mx,
-                    "contaminated": mx >= threshold,
+                    "contaminated": np.where(np.isnan(mx), False, mx >= threshold),
                 }
             )
 

@@ -495,8 +495,14 @@ def quality_terciles(
         .when(F.col(score_col) >= F.col("_t1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # NULL-lang rows form their own stratum rather than vanishing:
+    # groupBy already buckets NULL as one group on both engines, so
+    # the only gap is the equi-join — make it null-safe (eqNullSafe is
+    # still a broadcast-hash-joinable condition) and the accounting
+    # stays total, matching domain_stats' NULL-domain convention.
+    thr = thr.withColumnRenamed(lang_col, "_lk")
     return (
-        df.join(F.broadcast(thr), lang_col)
+        df.join(F.broadcast(thr), F.col(lang_col).eqNullSafe(F.col("_lk")))
         .select(id_col, lang_col, score_col, bucket.alias("bucket"))
     )
 

@@ -276,6 +276,26 @@ def test_quality_terciles_semantics(spark):
     assert de[129] == "head" and de[100] == "tail"  # de thresholds ≫ en scores
 
 
+def test_quality_terciles_null_lang_forms_own_stratum(spark):
+    """NULL-lang rows must NOT vanish (accounting stays total, as in
+    domain_stats): they form their own stratum with their own
+    thresholds — null-safe broadcast join, not an inner equi-join."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.text_analysis import quality_terciles
+
+    rows = [(i, "en", float(i)) for i in range(6)] + [
+        (10 + i, None, 100.0 + i) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality_score double")
+    out = quality_terciles(df).collect()
+    assert len(out) == 12  # every input row accounted for
+    nul = {r["doc_id"]: r["bucket"] for r in out if r["lang"] is None}
+    assert len(nul) == 6
+    # NULL stratum gets its own terciles, independent of en's
+    assert nul[15] == "head" and nul[10] == "tail"
+
+
 def test_chunk_documents_semantics(spark):
     from pyspark.sql import functions as F
 
