@@ -973,8 +973,9 @@ def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the first 50
-    # entries. Every oracle-backed query comes first (45 of them); the 9
-    # rows-only / no-oracle queries (pytest-gated instead) sit at the end.
+    # entries — all 50 are oracle-backed. Three more oracle-backed queries
+    # sit just past the window (see the rotation note below), then the 10
+    # rows-only / no-oracle queries (pytest-gated instead) at the end.
     return {
         "rule_counts_lineitem": _rule_counts_lineitem,
         "rule_time_filter_events": _rule_time_filter_events,
@@ -1016,27 +1017,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _domain_pagerank,
         "embedding_near_dups": _embedding_near_dups,
         "ann_topk_bruteforce": _ann_topk_bruteforce,
-        "revenue_by_nation": _revenue_by_nation,
+        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
+        "doc_chunks": _doc_chunks,
+        "doc_badwords": _doc_badwords,
         "events_hourly_rollup": _events_hourly_rollup,
         "events_sessions": _events_sessions,
         "events_type_counts_salted": _events_type_counts_salted,
-        "events_pivot": _events_pivot,
         "top_suppliers_per_nation": _top_suppliers_per_nation,
-        "lineitem_rollup": _lineitem_rollup,
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
         # 53 queries carry oracles but the driver's correctness window
-        # is 50: the three below sit outside it BY CHOICE (the
-        # capped-Jaccard variant is the cap-coverage twin of the
-        # in-window dedup_ngram_jaccard; doc_chunks and doc_badwords
-        # are r5 additions that arrived after the window filled).
+        # is 50: the three below sit outside it BY CHOICE (r6 rotation —
+        # their operator CLASSES are already exercised by in-window rows:
+        # revenue_by_nation by top_suppliers_per_nation's join+agg,
+        # events_pivot by events_type_counts_salted's wide agg, and
+        # lineitem_rollup by events_hourly_rollup's GROUPING SETS; the
+        # rotation let the r5 additions doc_chunks / doc_badwords /
+        # dedup_ngram_jaccard_capped into the driver gate).
         # tests/test_oracle_parity.py checks EVERY oracle on every
         # pytest run regardless of position — at sf0.01, and at sf0.001
         # / sf0.1 via SPARK_GRAFT_ORACLE_SF.
-        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
-        "doc_chunks": _doc_chunks,
-        "doc_badwords": _doc_badwords,
+        "revenue_by_nation": _revenue_by_nation,
+        "events_pivot": _events_pivot,
+        "lineitem_rollup": _lineitem_rollup,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,

@@ -156,9 +156,13 @@ def semantic_dedup(
             e0 = min(s0 + block, n)
             S = np.round(U[s0:e0] @ U[:e0].T, 6)  # (block, e0)
             ge = S >= threshold
-            for i in range(s0, e0):
-                if i and ge[i - s0, :i].any():
-                    dropped[i] = True
+            # row i drops iff any ge[i, j] for j < i: columns left of
+            # the block are all admissible; within the block's square
+            # only the strict lower triangle is (j < i) — both reduce
+            # with vectorized any(), no per-row Python
+            dropped[s0:e0] = ge[:, :s0].any(axis=1) | np.tril(
+                ge[:, s0:e0], k=-1
+            ).any(axis=1)
         return pd.DataFrame(
             {
                 "_id": ids,
