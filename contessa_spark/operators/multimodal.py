@@ -53,15 +53,127 @@ _JPEG_SOF_MARKERS = frozenset(
 ) - {0xC4, 0xC8, 0xCC}
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW (GIF89a spec appendix F): variable-width codes
+    packed LSB-first, CLEAR = 2^min, END = CLEAR+1, dictionary grows to
+    12 bits then freezes until the next CLEAR. Returns the index
+    stream, or None on malformed input / ``max_pixels`` overrun."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    # dict entries as (prefix_code, first_byte, last_byte) chains would
+    # save memory; output is bounded by max_pixels so full sequences
+    # (python bytes) keep the inner loop simple
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]   # the KwKwK case
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            if len(out) > max_pixels:
+                return None
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)   # tolerated: stream ended without END code
+
+
 def _decode_gif(payload: bytes) -> dict:
-    """GIF87a/89a logical-screen dims: two uint16 LE right after the
-    6-byte signature (public spec). No frame decode — dims only."""
+    """GIF87a/89a: logical-screen dims from the header, and REAL pixel
+    statistics for the first image frame — the full LZW index-stream
+    decode (``_gif_lzw_decode``) mapped through the applicable (local
+    over global) color table; ``mean_byte`` is the integer-floor mean
+    over the frame's RGB bytes, the same convention as the PNG/BMP/
+    JPEG paths. The pixel SET is order-independent, so interlaced
+    frames need no row reshuffling for statistics. Any pixel-path
+    irregularity (missing color table, out-of-range index, truncated
+    or oversized stream) degrades to dims-only, never a failure."""
     import struct
 
+    bad = {"width": None, "height": None, "mean_byte": None, "ok": False}
     if len(payload) < 10:
-        return {"width": None, "height": None, "mean_byte": None, "ok": False}
+        return bad
     w, h = struct.unpack_from("<HH", payload, 6)
-    return {"width": int(w), "height": int(h), "mean_byte": None, "ok": True}
+    out = {"width": int(w), "height": int(h), "mean_byte": None, "ok": True}
+    if len(payload) < 14:
+        return out
+    try:
+        packed, _bg, _ar = struct.unpack_from("<BBB", payload, 10)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        # walk blocks to the first image descriptor
+        while pos < len(payload) and payload[pos] == 0x21:  # extension
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        if pos >= len(payload) or payload[pos] != 0x2C:
+            return out
+        _l, _t, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if not ct:
+            return out
+        n_pixels = int(fw) * int(fh)
+        if n_pixels == 0 or n_pixels > MAX_PNG_RAW_BYTES // 3:
+            return out
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, n_pixels)
+        if idx is None or len(idx) < n_pixels:
+            return out
+        idx = idx[:n_pixels]            # defensive: some encoders over-emit
+        if max(idx) * 3 + 2 >= len(ct):
+            return out                  # index beyond the color table
+        total = 0
+        for i in idx:
+            total += ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2]
+        out["mean_byte"] = total // (3 * n_pixels)
+    except (IndexError, struct.error):
+        return out
+    return out
 
 
 def _decode_bmp(payload: bytes) -> dict:

@@ -433,6 +433,133 @@ def test_bmp_pixel_mean_real_bytes():
     assert got["mean_byte"] is None
 
 
+def _gif_bytes(w, h, indices, palette, min_code, local_ct=False,
+               interlace=False, codes=None):
+    """Minimal GIF89a builder (test-only). LZW data uses the
+    clear-code-spam 'uncompressed' encoding at a FIXED code width —
+    deliberately independent of the decoder's dictionary-growth logic —
+    unless explicit ``codes`` are given (for hand-worked growth cases).
+    ``palette``: list of (r, g, b)."""
+    import struct
+
+    n = len(palette)
+    ct = b"".join(bytes(c) for c in palette)
+    ct += b"\x00" * (3 * ((2 << ((n - 1).bit_length() - 1 if n > 1 else 0)) - n))
+    ct_bits = max(1, (n - 1).bit_length()) - 1  # field = log2(size)-1
+    head = b"GIF89a" + struct.pack("<HH", w, h)
+    if local_ct:
+        head += struct.pack("<BBB", 0x00, 0, 0)  # no GCT
+        img_packed = 0x80 | (0x40 if interlace else 0) | ct_bits
+        desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, img_packed) + ct
+    else:
+        head += struct.pack("<BBB", 0x80 | ct_bits, 0, 0) + ct
+        desc = b"\x2C" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+    if codes is None:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        period = (1 << min_code) - 2  # stay below the width-bump point
+        codes = [clear]
+        cnt = 0
+        for ix in indices:
+            if cnt == period:
+                codes.append(clear)
+                cnt = 0
+            codes.append(ix)
+            cnt += 1
+        codes.append(end)
+    acc = nb = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nb
+        nb += min_code + 1
+        while nb >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        data.append(acc & 0xFF)
+    lzw = bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = bytes(data[i : i + 255])
+        lzw += bytes([len(chunk)]) + chunk
+    lzw += b"\x00"
+    return head + desc + lzw + b"\x3B"
+
+
+def test_gif_pixel_mean_golden_1x1():
+    """The canonical 43-byte 1×1 white GIF (spec-packed LZW: CLEAR,
+    index 0, END inside '44 01') must decode to mean_byte 255."""
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    payload = bytes.fromhex(
+        "47494638396101000100800000ffffff000000"
+        "21f90401000000002c00000000010001000002024401003b"
+    )
+    got = decode_image_bytes(payload)
+    assert (got["width"], got["height"], got["ok"]) == (1, 1, True)
+    assert got["mean_byte"] == 255
+
+
+def test_gif_pixel_mean_real_bytes():
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    palette = [(0, 0, 0), (30, 60, 90), (200, 100, 0), (255, 255, 255)]
+    # 4x3 image, indices with all four colors
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2]
+    want = sum(sum(palette[i]) for i in idx) // (3 * len(idx))
+    for local_ct in (False, True):
+        for interlace in (False, True):  # pixel SET stats ignore order
+            got = decode_image_bytes(
+                _gif_bytes(4, 3, idx, palette, 2,
+                           local_ct=local_ct, interlace=interlace)
+            )
+            assert (got["width"], got["height"], got["ok"]) == (4, 3, True)
+            assert got["mean_byte"] == want, (local_ct, interlace)
+    # extension blocks before the image descriptor are skipped
+    p = _gif_bytes(4, 3, idx, palette, 2)
+    with_ext = p[:13 + 12] + b"\x21\xf9\x04\x01\x00\x00\x00\x00" + p[13 + 12:]
+    assert decode_image_bytes(with_ext)["mean_byte"] == want
+
+
+def test_gif_lzw_dictionary_growth_hand_worked():
+    """Hand-computed LZW for pixels [0,0,0,0] at min_code 2: codes
+    CLEAR,0,6,0,END where 6 is the KwKwK case ('00' referenced as it
+    is defined) — exercises dictionary growth, which the clear-spam
+    builder path deliberately never does."""
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    palette = [(10, 10, 10), (0, 0, 0), (0, 0, 0), (0, 0, 0)]
+    payload = _gif_bytes(4, 1, None, palette, 2, codes=[4, 0, 6, 0, 5])
+    got = decode_image_bytes(payload)
+    assert (got["width"], got["height"], got["ok"]) == (4, 1, True)
+    assert got["mean_byte"] == 10
+
+
+def test_gif_pixel_path_degrades_to_dims_only():
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    idx = [0, 1, 2, 3]
+    full = _gif_bytes(2, 2, idx, palette, 2)
+    # truncated LZW stream: fewer pixels than w*h
+    short = _gif_bytes(2, 2, idx[:2], palette, 2)
+    got = decode_image_bytes(short)
+    assert (got["width"], got["height"], got["ok"]) == (2, 2, True)
+    assert got["mean_byte"] is None
+    # no color table at all
+    no_ct = full[:10] + b"\x00" + full[11:]          # clear GCT flag
+    no_ct = no_ct[:13] + no_ct[13 + 12:]             # drop the table
+    got = decode_image_bytes(no_ct)
+    assert got["ok"] is True and got["mean_byte"] is None
+    # header-only payload (legacy dims-only case)
+    import struct
+    hdr = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00"
+    got = decode_image_bytes(hdr)
+    assert (got["width"], got["height"], got["ok"]) == (320, 200, True)
+    assert got["mean_byte"] is None
+
+
 def _encode_baseline_jpeg_gray(block_values, blocks_x, restart_interval=0):
     """Minimal BASELINE JPEG encoder (test-only): one grayscale
     component, Q[0..63]=1, DC-only blocks (every AC = 0 → immediate
