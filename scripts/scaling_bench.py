@@ -48,6 +48,16 @@ from contessa_spark.session import get_spark
 from contessa_spark.pipeline import QualityFilterPipeline, PipelineConfig, annotate
 from pyspark.sql import functions as F
 
+def _host_sample():
+    # loadavg (includes our own runnable threads) + /proc/stat total
+    # and steal jiffies: steal measures CPU the HOST took from this
+    # guest — the direct multi-tenancy signal loadavg can't separate
+    # from self-load
+    load1 = float(open("/proc/loadavg").read().split()[0])
+    vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return load1, sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
 cores = {cores}
 spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   task_cpus={task_cpus})
@@ -60,10 +70,13 @@ QualityFilterPipeline(spark, w, cfg).run(inp.limit(20000), task_ts=datetime(2025
 shutil.rmtree(w)
 
 b = tempfile.mkdtemp()
+load_before, tot0, steal0 = _host_sample()
 t0 = time.perf_counter()
 # task_ts varies per rep (arg): Spark 4.1 reuses identical-plan results
 s = QualityFilterPipeline(spark, b, cfg).run(inp, task_ts=datetime(2025, 8, 1, 0, {rep}))
 wall = time.perf_counter() - t0
+load_after, tot1, steal1 = _host_sample()
+steal_pct = round(100.0 * (steal1 - steal0) / max(1, tot1 - tot0), 2)
 shutil.rmtree(b)
 
 # compute-stage-only (annotate UDF over the narrow input, noop sink):
@@ -76,7 +89,10 @@ comp = time.perf_counter() - t0
 
 print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(wall, 2),
                                "compute_wall_sec": round(comp, 2),
-                               "docs": s["input"]}}))
+                               "docs": s["input"],
+                               "load1_before": load_before,
+                               "load1_after": load_after,
+                               "steal_pct": steal_pct}}))
 """
 
 GEN_TEMPLATE = r"""
@@ -144,15 +160,36 @@ def main() -> None:
             line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
             raw[cores].append(json.loads(line[len("RESULT "):]))
 
+    # a rep is CONTENDED when the host stole more than this share of
+    # CPU during its timed window (/proc/stat steal delta) — the
+    # formalized version of the by-eye "one high rep 1.9x the others"
+    # discard rule BENCH.md used to apply manually. loadavg alone
+    # can't make this call: it counts our own runnable threads too.
+    steal_limit = 5.0
     results = {}
     for cores, reps in raw.items():
-        med = statistics.median(r["wall_sec"] for r in reps)
-        comp = statistics.median(r["compute_wall_sec"] for r in reps)
-        docs = reps[0]["docs"]
+        clean = [r for r in reps if r.get("steal_pct", 0.0) <= steal_limit]
+        used = clean if clean else reps
+        med = statistics.median(r["wall_sec"] for r in used)
+        comp = statistics.median(r["compute_wall_sec"] for r in used)
+        docs = used[0]["docs"]
         results[cores] = {
             "cores": cores,
             "wall_sec": round(med, 2),
             "all_reps_sec": [r["wall_sec"] for r in reps],
+            "rep_host_load": [
+                {
+                    "wall_sec": r["wall_sec"],
+                    "load1_before": r.get("load1_before"),
+                    "load1_after": r.get("load1_after"),
+                    "steal_pct": r.get("steal_pct"),
+                    "clean": r.get("steal_pct", 0.0) <= steal_limit,
+                }
+                for r in reps
+            ],
+            "clean_reps_used": len(used),
+            "contended_reps_discarded": len(reps) - len(used),
+            "all_reps_contended": not clean,
             "compute_wall_sec": round(comp, 2),
             "docs": docs,
             "docs_per_sec": round(docs / med, 1),
@@ -168,6 +205,8 @@ def main() -> None:
         "docs": args.docs,
         "pinned": pin,
         "bucket_by": args.bucket_by,
+        "steal_limit_pct": steal_limit,
+        "efficiency_from_clean_reps_only": True,
         "low": low,
         "high": high_r,
         "core_ratio": high / args.low,
@@ -205,7 +244,14 @@ def main() -> None:
             f"{report['core_ratio']}× core ratio → **end-to-end efficiency "
             f"{report['scaling_efficiency']}**; annotation stage alone "
             f"**{report['compute_scaling_efficiency']}**. All reps: "
-            f"low {low['all_reps_sec']}, high {high_r['all_reps_sec']}.\n"
+            f"low {low['all_reps_sec']}, high {high_r['all_reps_sec']}. "
+            "Each rep records /proc/loadavg and the /proc/stat steal "
+            f"delta over its timed window; reps with steal > "
+            f"{report['steal_limit_pct']} % (host multi-tenancy) are "
+            "auto-discarded from the medians "
+            f"({low['contended_reps_discarded']} low / "
+            f"{high_r['contended_reps_discarded']} high discarded here; "
+            "per-rep fields in the JSON artifact).\n"
         )
         path = os.path.join(REPO, "BENCH.md")
         existing = ""
