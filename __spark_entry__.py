@@ -278,6 +278,20 @@ def _doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # budget-respecting best-fit-decreasing variant (same portable
+    # modulo bucketing); oracle = recursive-CTE replay of the exact
+    # deterministic placement sequence
+    from contessa_spark.operators.text_analysis import pack_documents_bfd
+
+    return pack_documents_bfd(
+        _load(spark, sf_dir, "documents"),
+        budget_tokens=2048,
+        n_buckets=8,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+
+
 def _doc_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import alpha_word_stats
 
@@ -1041,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
         "lineitem_rollup": _lineitem_rollup,
+        "doc_pack_bfd": _doc_pack_bfd,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_langid": _doc_langid,
         "doc_scrub": _doc_scrub,
@@ -1278,6 +1293,36 @@ def oracle_sql() -> dict[str, str]:
             "floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
             " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)::BIGINT AS pack_id, "
             "n_tokens FROM w"
+        ),
+        "doc_pack_bfd": (
+            # recursive CTE replays the deterministic BFD placement:
+            # per bucket, docs in (n_tokens DESC, doc_id) order; state
+            # `rem` = remaining capacity per open pack (index = pack
+            # id + 1); each step best-fits into min remaining >= n
+            # (lowest pack id on ties) else appends a new pack
+            f"WITH RECURSIVE w AS (SELECT doc_id, (doc_id % 8)::INT AS bucket, "
+            f" len(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> ''))::BIGINT AS n_tokens "
+            f" FROM documents), "
+            "d AS (SELECT doc_id, bucket, n_tokens, "
+            " row_number() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rk FROM w), "
+            "steps AS ( "
+            " SELECT bucket, 0::BIGINT AS rk, []::BIGINT[] AS rem, "
+            "  NULL::BIGINT AS doc_id, NULL::BIGINT AS pack_id, NULL::BIGINT AS n_tokens "
+            " FROM (SELECT DISTINCT bucket FROM d) "
+            " UNION ALL "
+            " SELECT s.bucket, dd.rk, "
+            "  CASE WHEN best.bi IS NULL THEN list_append(s.rem, 2048 - dd.n_tokens) "
+            "   ELSE s.rem[1:best.bi-1] || [s.rem[best.bi] - dd.n_tokens] || s.rem[best.bi+1:] END, "
+            "  dd.doc_id, "
+            "  CASE WHEN best.bi IS NULL THEN len(s.rem) ELSE best.bi - 1 END, "
+            "  dd.n_tokens "
+            " FROM steps s JOIN d dd ON dd.bucket = s.bucket AND dd.rk = s.rk + 1, "
+            " LATERAL (SELECT list_filter([{'r': s.rem[k], 'i': k} for k in range(1, len(s.rem)+1)], "
+            "   x -> x.r >= dd.n_tokens) AS cands) AS c, "
+            " LATERAL (SELECT CASE WHEN len(c.cands) = 0 THEN NULL "
+            "   ELSE list_reduce(c.cands, (a, b) -> CASE WHEN b.r < a.r OR (b.r = a.r AND b.i < a.i) "
+            "    THEN b ELSE a END).i END AS bi) AS best) "
+            "SELECT doc_id, bucket, pack_id, n_tokens FROM steps WHERE doc_id IS NOT NULL"
         ),
         "doc_alpha_words": (
             f"WITH w AS (SELECT doc_id, "

@@ -395,6 +395,91 @@ def pack_documents(
     )
 
 
+def pack_documents_bfd(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: Column = None,
+    n_tokens_col: Column = None,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing — the budget-RESPECTING
+    sibling of ``pack_documents``. The greedy cumsum packer assigns a
+    boundary-crossing document to the pack where its running sum
+    STARTS, so packs routinely exceed the budget and the tail of each
+    pack's budget is wasted; BFD sorts each bucket's documents by
+    (n_tokens DESC, id ASC) and places every document into the open
+    pack with the LEAST remaining capacity that still fits (new pack
+    when none fits — oversized documents therefore sit alone, same
+    convention as the greedy packer).
+
+    Invariant: every pack's token sum ≤ ``budget_tokens`` unless the
+    pack is a single oversized document.
+
+    Plan: same single shuffle on the bucket key; the per-bucket state
+    (a remaining-capacity list, one entry per open pack) lives inside
+    one ``applyInPandas`` group of bounded size ≈ corpus/n_buckets —
+    the bisect-managed capacity list makes the bucket pass
+    O(docs·log packs). Fully deterministic (sort key is total), so the
+    layout reproduces under any partitioning AND in the recursive-CTE
+    DuckDB oracle.
+
+    Output: (id, bucket, pack_id, n_tokens); pack_id is the 0-based
+    pack-creation index within the bucket."""
+    import bisect
+
+    import pandas as pd
+
+    toks = (
+        n_tokens_col.cast("long")
+        if n_tokens_col is not None
+        else F.size(
+            F.filter(F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != F.lit(""))
+        ).cast("long")
+    )
+    if bucket_col is None:
+        bucket_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        bucket_col.cast("int").alias("bucket"),
+        toks.alias("n_tokens"),
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "_id"], ascending=[False, True], kind="mergesort"
+        )
+        packs: list = []  # sorted (remaining, pack_id): bisect((n, -1))
+        next_id = 0       # finds min remaining >= n, lowest id on ties
+        assigned = []
+        for n in pdf["n_tokens"].astype("int64"):
+            i = bisect.bisect_left(packs, (int(n), -1))
+            if i < len(packs):
+                rem, pid = packs.pop(i)
+                bisect.insort(packs, (rem - int(n), pid))
+            else:
+                pid = next_id
+                next_id += 1
+                bisect.insort(packs, (budget_tokens - int(n), pid))
+            assigned.append(pid)
+        return pd.DataFrame(
+            {
+                "_id": pdf["_id"].to_numpy(),
+                "bucket": pdf["bucket"].to_numpy(),
+                "pack_id": pd.array(assigned, dtype="int64"),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+            }
+        )
+
+    out = base.groupBy("bucket").applyInPandas(
+        bfd, schema="_id long, bucket int, pack_id long, n_tokens long"
+    )
+    return out.select(
+        F.col("_id").alias(id_col), "bucket", "pack_id", "n_tokens"
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint md5-of-normalized-text, head_hash rolling-ish
     prefix hash) — cheap doc identity keys for incremental dedup."""

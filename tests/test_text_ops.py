@@ -197,6 +197,78 @@ def test_pack_documents_semantics(spark):
     assert all(r["bucket"] == 0 for r in out.values())
 
 
+def test_pack_documents_bfd_semantics(spark):
+    """Best-fit-decreasing: sizes [6,5,4,3,2,1] at budget 7 pack
+    PERFECTLY into 3 full packs (6+1, 5+2, 4+3) — the exact case the
+    greedy tail wastes; ties and fit choices are deterministic."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.text_analysis import pack_documents_bfd
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([6, 5, 4, 3, 2, 1])],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents_bfd(
+            docs, budget_tokens=7, n_buckets=1, bucket_col=F.lit(0)
+        ).collect()
+    }
+    packs = {}
+    for r in out.values():
+        packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    assert len(packs) == 3
+    assert sorted(sorted(v) for v in packs.values()) == [[1, 6], [2, 5], [3, 4]]
+    # placement order is size-desc: 6→pack0, 5→pack1, 4→pack2, then
+    # best-fit sends 3 to pack2, 2 to pack1, 1 to pack0
+    assert out[0]["pack_id"] == 0 and out[5]["pack_id"] == 0
+    assert out[1]["pack_id"] == 1 and out[4]["pack_id"] == 1
+    assert out[2]["pack_id"] == 2 and out[3]["pack_id"] == 2
+
+
+def test_pack_documents_bfd_budget_invariant_and_utilization(spark):
+    """On the real corpus: every BFD pack fits the budget (except
+    single oversized docs), the layout is partition-invariant, and the
+    pack count beats sequential budget-respecting next-fit — the
+    utilization win over order-greedy packing."""
+    from pyspark.sql import functions as F
+
+    from contessa_spark.operators.text_analysis import pack_documents_bfd
+
+    budget = 600
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = pack_documents_bfd(
+        docs, budget_tokens=budget, n_buckets=4,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    ).collect()
+    packs = {}
+    for r in rows:
+        packs.setdefault((r["bucket"], r["pack_id"]), []).append(r["n_tokens"])
+    for members in packs.values():
+        assert sum(members) <= budget or len(members) == 1
+    # layout invariance (the sort key is total → deterministic)
+    again = pack_documents_bfd(
+        docs.repartition(13), budget_tokens=budget, n_buckets=4,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # vs next-fit in doc_id order (budget-respecting baseline)
+    nf_packs = 0
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r["n_tokens"])
+    for members in by_bucket.values():
+        cur = 0
+        nf_packs += 1
+        for n in members:
+            if cur + n > budget and cur > 0:
+                nf_packs += 1
+                cur = 0
+            cur += n
+    assert len(packs) < nf_packs  # measured on this fixed corpus
+
+
 def test_token_topk_salting_invariant(spark):
     """The salted two-level top-k must be EXACT: results identical for
     any n_salt (each (lang, token) row is unique after the count
