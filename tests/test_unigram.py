@@ -65,6 +65,91 @@ def test_training_deterministic_and_compresses():
     assert _viterbi("in", a) == ["in"]
 
 
+def test_lattice_em_likelihood_beats_hard_em():
+    """Full-lattice EM maximizes the TRUE marginal likelihood; hard-EM
+    only its Viterbi approximation — on the same word table and vocab
+    budget the lattice-trained model must score corpus log-likelihood
+    at least as high."""
+    from contessa_spark.functions.unigram import (
+        corpus_loglik,
+        train_unigram_from_counts,
+    )
+
+    # vocab_size past the seed size → NO pruning rounds: both modes
+    # train over the IDENTICAL vocabulary from the identical init, so
+    # the true-likelihood comparison isolates the E-step (with pruning
+    # the vocab trajectories diverge and the comparison is ill-posed).
+    # Self-overlapping pieces are hard-EM's classic failure: its
+    # winner-take-all Viterbi counts starve the competing
+    # segmentations the marginal actually flows through.
+    counts = {"aaaa": 50, "aa": 30, "aaa": 20}
+    kw = dict(vocab_size=10_000, em_iters=12)
+    lat = train_unigram_from_counts(counts, em_mode="lattice", **kw)
+    hard = train_unigram_from_counts(counts, em_mode="hard", **kw)
+    assert set(lat) == set(hard)
+    ll_lat, ll_hard = corpus_loglik(counts, lat), corpus_loglik(counts, hard)
+    assert ll_lat > ll_hard + 10, (ll_lat, ll_hard)  # measured: -1.7 vs -58.9
+
+    # and the EM guarantee holds: every lattice iteration ascends the
+    # corpus log-likelihood (up to the 1e-9 M-step smoothing)
+    words = {
+        "training": 40, "train": 60, "rain": 20, "gain": 10, "in": 90,
+        "raining": 15, "gaining": 5, "rating": 12, "ratio": 9,
+    }
+    lls = [
+        corpus_loglik(
+            words,
+            train_unigram_from_counts(words, vocab_size=10_000, em_iters=k),
+        )
+        for k in range(0, 5)
+    ]
+    assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:])), lls
+
+
+def test_expected_counts_match_enumeration():
+    """Forward-backward expected piece counts ≡ brute-force
+    enumeration over all segmentations of a word."""
+    import itertools
+    import math
+
+    from contessa_spark.functions.unigram import (
+        _expected_counts,
+        _vocab_floor,
+    )
+
+    logp = {"a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.35),
+            "ba": math.log(0.1), "aba": math.log(0.05)}
+    word = "ababa"
+    floor = _vocab_floor(logp)
+    got = {}
+    _expected_counts(word, 2, logp, floor, got)
+
+    # enumerate all segmentations with their probabilities
+    def segs(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, len(w) + 1):
+            p = w[:k]
+            if p in logp or k == 1:
+                for rest in segs(w[k:]):
+                    yield [p] + rest
+
+    want = {}
+    z = 0.0
+    weighted = []
+    for s in segs(word):
+        pr = math.exp(sum(logp.get(p, floor) for p in s))
+        z += pr
+        weighted.append((s, pr))
+    for s, pr in weighted:
+        for p in s:
+            want[p] = want.get(p, 0.0) + 2 * pr / z
+    assert set(got) == set(want)
+    for p in want:
+        assert math.isclose(got[p], want[p], rel_tol=1e-9), p
+
+
 def test_spark_unigram_counts_partition_invariant(spark):
     from pyspark.sql import functions as F
 
