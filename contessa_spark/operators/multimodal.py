@@ -232,12 +232,17 @@ def _decode_webp(payload: bytes) -> dict:
     * ``VP8 `` (lossy): 3-byte frame tag, 3-byte start code 9D 01 2A,
       then 14-bit width/height in two uint16 LE;
     * ``VP8L`` (lossless): signature 0x2F, then width−1 and height−1
-      as two 14-bit fields of the next uint32 LE;
+      as two 14-bit fields of the next uint32 LE — and REAL pixel
+      statistics via the full pure-python bitstream decoder in
+      ``operators/vp8l.py`` (prefix codes, meta codes, color cache,
+      LZ77, all four transforms); ``mean_byte`` = integer-floor mean
+      over R,G,B (alpha excluded); any decode irregularity or the
+      bomb guard degrades to dims-only;
     * ``VP8X`` (extended): 4 flag bytes, then canvas width−1 and
       height−1 as uint24 LE each.
 
-    No pixel decode (the libwebp swap-in point) — ``mean_byte`` stays
-    None, dims are real."""
+    VP8 (lossy) pixel decode remains the libwebp swap-in point —
+    ``mean_byte`` stays None there, dims are real."""
     import struct
 
     bad = {"width": None, "height": None, "mean_byte": None, "ok": False}
@@ -261,12 +266,21 @@ def _decode_webp(payload: bytes) -> dict:
             if body[0] != 0x2F:
                 return bad
             (bits,) = struct.unpack_from("<I", body, 1)
-            return {
+            out = {
                 "width": (bits & 0x3FFF) + 1,
                 "height": ((bits >> 14) & 0x3FFF) + 1,
                 "mean_byte": None,
                 "ok": True,
             }
+            try:
+                from contessa_spark.operators.vp8l import vp8l_mean_rgb
+
+                out["mean_byte"] = vp8l_mean_rgb(
+                    body, max_pixels=MAX_PNG_RAW_BYTES // 4
+                )
+            except ValueError:
+                pass  # malformed pixel stream: dims-only, still ok
+            return out
         if cid == b"VP8X" and len(body) >= 10:
             w = int.from_bytes(body[4:7], "little") + 1
             h = int.from_bytes(body[7:10], "little") + 1
