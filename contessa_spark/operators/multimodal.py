@@ -433,6 +433,175 @@ def _jpeg_dc_mean(payload, sos_pos, components, qtables, dc_tables,
     return int(total // blocks)
 
 
+def _jpeg_progressive_dc_mean(
+    payload, sos_i, components, qtables, dc_tables, restart_interval
+):
+    """Mean pixel value of a PROGRESSIVE (SOF2) image from its DC
+    scans — the same DC-term-is-the-block-mean identity as
+    ``_jpeg_dc_mean``, exploited across the multi-scan structure:
+
+    * progressive separates DC and AC into DIFFERENT scans, so AC
+      scans are skipped wholesale by marker search (no entropy walk);
+    * the first DC scan (Ah=0) is baseline-style DIFF coding of the
+      point-transformed value (DC >> Al), stored as ``pred << Al``;
+    * DC refinement scans (Ah>0) append one raw bit per block:
+      ``value |= bit << Al`` (python's two's-complement |= matches the
+      C semantics for negative coefficients, T.81 §G.1.2.1);
+    * DHT/DRI segments between scans update tables mid-walk.
+
+    Returns None when no first DC scan was seen."""
+    import struct
+
+    n = len(payload)
+    dc_tables = dict(dc_tables)  # later DHTs must not leak to caller
+    h_max = max(c["h"] for c in components)
+    v_max = max(c["v"] for c in components)
+    w, hgt = components[0]["width_img"], components[0]["height_img"]
+    mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (hgt + 8 * v_max - 1) // (8 * v_max)
+    comp_by_id = {c["id"]: c for c in components}
+    dc = {c["id"]: {} for c in components}
+    saw_first = False
+
+    def find_marker(pos):
+        while pos + 1 < n:
+            if (
+                payload[pos] == 0xFF
+                and payload[pos + 1] != 0x00
+                and not (0xD0 <= payload[pos + 1] <= 0xD7)
+            ):
+                return pos
+            pos += 1
+        return n
+
+    def decode_dc_scan(pos, scomps, ah, al):
+        br = _JpegBitReader(payload, pos)
+        preds = {cid: 0 for cid, _ in scomps}
+        if len(scomps) > 1:  # interleaved: full MCU walk
+            mcu_iter = (
+                (mx, my) for my in range(mcus_y) for mx in range(mcus_x)
+            )
+            mcu_count = 0
+            for mx, my in mcu_iter:
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    br.bits = 0
+                    br.nbits = 0
+                    if (
+                        br.pos + 1 < n
+                        and payload[br.pos] == 0xFF
+                        and 0xD0 <= payload[br.pos + 1] <= 0xD7
+                    ):
+                        br.pos += 2
+                        preds = {cid: 0 for cid, _ in scomps}
+                    else:
+                        raise ValueError("expected restart marker")
+                mcu_count += 1
+                for cid, tdc in scomps:
+                    c = comp_by_id[cid]
+                    stride = mcus_x * c["h"]
+                    for b in range(c["h"] * c["v"]):
+                        by, bx = divmod(b, c["h"])
+                        idx = (my * c["v"] + by) * stride + mx * c["h"] + bx
+                        if ah == 0:
+                            t = _huff_decode(br, dc_tables[tdc])
+                            preds[cid] += _extend(br.read(t), t)
+                            dc[cid][idx] = preds[cid] << al
+                        elif br.read(1):
+                            dc[cid][idx] |= 1 << al
+        else:  # non-interleaved: the component's own block raster
+            cid, tdc = scomps[0]
+            c = comp_by_id[cid]
+            cw = (w * c["h"] + h_max - 1) // h_max
+            ch = (hgt * c["v"] + v_max - 1) // v_max
+            wb, hb = (cw + 7) // 8, (ch + 7) // 8
+            stride = mcus_x * c["h"]
+            count = 0
+            for row in range(hb):
+                for col in range(wb):
+                    if (
+                        restart_interval
+                        and count
+                        and count % restart_interval == 0
+                    ):
+                        br.bits = 0
+                        br.nbits = 0
+                        if (
+                            br.pos + 1 < n
+                            and payload[br.pos] == 0xFF
+                            and 0xD0 <= payload[br.pos + 1] <= 0xD7
+                        ):
+                            br.pos += 2
+                            preds[cid] = 0
+                        else:
+                            raise ValueError("expected restart marker")
+                    count += 1
+                    idx = row * stride + col
+                    if ah == 0:
+                        t = _huff_decode(br, dc_tables[tdc])
+                        preds[cid] += _extend(br.read(t), t)
+                        dc[cid][idx] = preds[cid] << al
+                    elif br.read(1):
+                        dc[cid][idx] |= 1 << al
+
+    marker = 0xDA
+    i = sos_i
+    while True:
+        if marker == 0xD9 or marker in _JPEG_SOF_MARKERS:
+            break
+        if i + 2 > n:
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, i)
+        seg = payload[i + 2 : i + seg_len]
+        data_start = i + seg_len
+        if marker == 0xC4:  # DHT between scans (DC tables only)
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                if p + 17 + nsym > len(seg):
+                    break
+                if tc == 0:
+                    dc_tables[th] = _huff_table(
+                        counts, list(seg[p + 17 : p + 17 + nsym])
+                    )
+                p += 17 + nsym
+        elif marker == 0xDD and len(seg) >= 2:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA and seg:
+            ns = seg[0]
+            if 1 + ns * 2 + 3 <= len(seg):
+                scomps = [
+                    (seg[1 + k * 2], seg[2 + k * 2] >> 4) for k in range(ns)
+                ]
+                ss = seg[1 + ns * 2]
+                ahal = seg[3 + ns * 2]
+                ah, al = ahal >> 4, ahal & 0xF
+                if ss == 0 and all(c in comp_by_id for c, _ in scomps):
+                    decode_dc_scan(data_start, scomps, ah, al)
+                    saw_first = saw_first or ah == 0
+                # AC scans (ss > 0): skipped — find_marker walks past
+        mpos = find_marker(data_start)
+        if mpos >= n:
+            break
+        marker = payload[mpos + 1]
+        i = mpos + 2
+    if not saw_first:
+        return None
+    total = 0.0
+    blocks = 0
+    for c in components:
+        q0 = qtables[c["tq"]][0]
+        for v in dc[c["id"]].values():
+            total += min(255.0, max(0.0, v * q0 / 8.0 + 128.0))
+            blocks += 1
+    return int(total // blocks) if blocks else None
+
+
 def _decode_jpeg(payload: bytes) -> dict:
     """JPEG decode via the public-spec marker walk (ITU-T T.81):
     segments are FF <marker> <len16 incl. itself>; the SOFn frame
@@ -440,14 +609,18 @@ def _decode_jpeg(payload: bytes) -> dict:
 
     For BASELINE (SOF0, 8-bit, Huffman) images the entropy-coded scan
     is decoded and ``mean_byte`` is the DC-only mean pixel value —
-    exact up to block-edge padding (see ``_jpeg_dc_mean``). Progressive
-    / arithmetic / 12-bit streams report dims only."""
+    exact up to block-edge padding (see ``_jpeg_dc_mean``). For
+    PROGRESSIVE (SOF2, 8-bit) images the DC scans — first pass and
+    successive-approximation refinements — are decoded and AC scans
+    skipped (see ``_jpeg_progressive_dc_mean``). Arithmetic-coded /
+    12-bit streams report dims only."""
     import struct
 
     i = 2  # past FFD8
     n = len(payload)
     width = height = None
     baseline = False
+    progressive = False
     components = []
     qtables = {}
     dc_tables = {}
@@ -477,12 +650,13 @@ def _decode_jpeg(payload: bytes) -> dict:
             precision = payload[i + 2]
             height, width = struct.unpack_from(">HH", payload, i + 3)
             baseline = marker == 0xC0 and precision == 8
+            progressive = marker == 0xC2 and precision == 8
             ncomp = payload[i + 7]
             components = []
             for ci in range(ncomp):
                 off = 6 + ci * 3
                 if off + 3 > len(seg):
-                    baseline = False
+                    baseline = progressive = False
                     break
                 components.append(
                     {
@@ -529,7 +703,15 @@ def _decode_jpeg(payload: bytes) -> dict:
             if width is None:
                 break  # SOS before any SOF: malformed
             mean = None
-            if baseline and components and qtables and seg:
+            if progressive and components and qtables and seg:
+                try:
+                    mean = _jpeg_progressive_dc_mean(
+                        payload, i, components, qtables, dc_tables,
+                        restart_interval,
+                    )
+                except Exception:
+                    mean = None  # contained: dims stay trustworthy
+            elif baseline and components and qtables and seg:
                 ns = seg[0]
                 scan_map = {}
                 ok = True

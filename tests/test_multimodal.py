@@ -627,6 +627,161 @@ def _encode_baseline_jpeg_gray(block_values, blocks_x, restart_interval=0):
     )
 
 
+def _encode_progressive_jpeg_gray(
+    block_values, blocks_x, al=1, refine=True, with_ac_scan=True,
+    restart_interval=0, second_component=None,
+):
+    """Minimal PROGRESSIVE (SOF2) JPEG encoder (test-only), DC scans
+    only: a first DC scan at successive-approximation ``Al``, a dummy
+    AC scan (the decoder must SKIP it by marker search), and per-bit
+    DC refinement scans down to Al=0 when ``refine``. With
+    ``second_component`` a 2-component interleaved MCU walk is
+    emitted (both 1×1 sampling)."""
+    import struct
+
+    comps = [(1, block_values)]
+    if second_component is not None:
+        comps.append((2, second_component))
+    blocks_y = (len(block_values) + blocks_x - 1) // blocks_x
+    w, h = blocks_x * 8, blocks_y * 8
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, _ in comps:
+        sof_body += bytes([cid, 0x11, 0])
+    sof = seg(0xC2, sof_body)
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+
+    bits = []
+
+    def put(code, nbits):
+        for i in range(nbits - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def flush():
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bits.clear()
+        return bytes(out)
+
+    def dc_of(v):
+        return 8 * (v - 128)
+
+    def sos_header(ss, se, ah, a_l):
+        body = bytes([len(comps)])
+        for cid, _ in comps:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | a_l]))
+
+    # ---- first DC scan (Ah=0, Al=al): interleaved over comps per MCU
+    first = sos_header(0, 0, 0, al)
+    entropy = b""
+    preds = {cid: 0 for cid, _ in comps}
+    nblocks = len(block_values)
+    for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            entropy += flush() + bytes(
+                [0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)]
+            )
+            preds = {cid: 0 for cid, _ in comps}
+        for cid, vals in comps:
+            s_val = dc_of(vals[bi]) >> al  # arithmetic point transform
+            diff = s_val - preds[cid]
+            preds[cid] = s_val
+            s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            put(s, 4)
+            if s:
+                mag = diff if diff > 0 else diff + (1 << s) - 1
+                put(mag, s)
+    first += entropy + flush()
+
+    # ---- dummy AC scan the decoder must skip (no 0xFF bytes inside)
+    ac = b""
+    if with_ac_scan:
+        ac = sos_header(1, 63, 0, 0) + b"\x5a\x12\x34\x00\x77"
+
+    # ---- DC refinement scans: one raw bit per block per component
+    refines = b""
+    if refine:
+        for bit_pos in range(al - 1, -1, -1):
+            refines += sos_header(0, 0, bit_pos + 1, bit_pos)
+            for bi in range(nblocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    refines += flush() + bytes(
+                        [0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)]
+                    )
+                for cid, vals in comps:
+                    put((dc_of(vals[bi]) >> bit_pos) & 1, 1)
+            refines += flush()
+
+    return b"\xff\xd8" + dqt + sof + dht_dc + dri + first + ac + refines + b"\xff\xd9"
+
+
+def test_jpeg_progressive_dc_mean():
+    """Progressive JPEGs get real DC-mean statistics: first DC scan +
+    successive-approximation refinements reconstruct the exact DC
+    values; the dummy AC scan in between must be skipped."""
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    got = decode_image_bytes(_encode_progressive_jpeg_gray([200, 200], 2))
+    assert (got["width"], got["height"], got["ok"]) == (16, 8, True)
+    assert got["mean_byte"] == 200
+
+    # refinement actually matters: DC coefficients are 8*(v-128), so
+    # bits 0-2 are always zero — Al must reach past bit 3 (parity of
+    # v-128) before truncation changes anything. Al=4 with odd v-128:
+    vals = [101, 203, 55, 250]
+    full = decode_image_bytes(
+        _encode_progressive_jpeg_gray(vals, 2, al=4, refine=True)
+    )
+    assert full["mean_byte"] == sum(vals) // len(vals)
+    trunc = decode_image_bytes(
+        _encode_progressive_jpeg_gray(vals, 2, al=4, refine=False)
+    )
+    want_trunc = sum(
+        min(255.0, max(0.0, ((8 * (v - 128) >> 4) << 4) / 8.0 + 128.0))
+        for v in vals
+    ) / len(vals)
+    assert trunc["mean_byte"] == int(want_trunc)
+    assert trunc["mean_byte"] != full["mean_byte"]
+
+    # deeper approximation: two refinement scans
+    got = decode_image_bytes(
+        _encode_progressive_jpeg_gray([37, 251, 129, 64], 2, al=2)
+    )
+    assert got["mean_byte"] == (37 + 251 + 129 + 64) // 4
+
+    # restart markers inside progressive DC scans
+    got = decode_image_bytes(
+        _encode_progressive_jpeg_gray([10, 20, 30, 40], 2, restart_interval=2)
+    )
+    assert got["mean_byte"] == 25
+
+
+def test_jpeg_progressive_two_component_interleaved():
+    from contessa_spark.operators.multimodal import decode_image_bytes
+
+    a, b = [100, 200], [50, 150]
+    got = decode_image_bytes(
+        _encode_progressive_jpeg_gray(a, 2, al=1, second_component=b)
+    )
+    assert (got["width"], got["height"], got["ok"]) == (16, 8, True)
+    assert got["mean_byte"] == (sum(a) + sum(b)) // 4
+
+
 def test_jpeg_dc_mean_baseline_real_entropy_decode():
     """Baseline JPEG pixel statistics are REAL now: the entropy-coded
     scan is Huffman-decoded and mean_byte comes from the DC terms
