@@ -569,6 +569,22 @@ def _doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_token_counts(_spread(docs, spark), logp)
 
 
+def _doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BERT-style WordPiece token budgets — the third subword family
+    # next to BPE and unigram (functions/wordpiece.py). Rows-only by
+    # design: greedy longest-match segmentation under a driver-trained
+    # vocab has no SQL form; objective/encoding/determinism are
+    # pytest-gated (tests/test_wordpiece.py)
+    from contessa_spark.functions.wordpiece import (
+        train_wordpiece,
+        wordpiece_token_counts,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    vocab = train_wordpiece(docs, vocab_size=512, max_words=5000)
+    return wordpiece_token_counts(_spread(docs, spark), vocab)
+
+
 def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FineWeb-edu/DCLM-style model-based quality scoring, self-
     # distilled from the heuristic keep rule (the standard bootstrap
@@ -1088,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub": _doc_scrub,
         "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_unigram_tokens": _doc_unigram_tokens,
+        "doc_wordpiece_tokens": _doc_wordpiece_tokens,
         "doc_quality_classifier": _doc_quality_classifier,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
