@@ -788,6 +788,19 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed Lloyd k-means (operators/clustering.py): md5-seeded
+    # so the whole loop replays CTE-by-CTE in DuckDB (the
+    # domain_pagerank unrolled-oracle trick); the greedy farthest-first
+    # init (default elsewhere) is pytest-gated on synthetic blobs
+    # (tests/test_clustering.py)
+    from contessa_spark.operators.clustering import kmeans_embeddings
+
+    return kmeans_embeddings(
+        _load(spark, sf_dir, "embeddings"), k=8, iters=2, init="md5"
+    )
+
+
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocked-GEMM exact variant: bit-identical to the pair-join form
     # (verified), ~50× faster on all-pairs workloads
@@ -1082,8 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
-        # 55 queries carry oracles but the driver's correctness window
-        # is 50: the five below sit outside it BY CHOICE (r6 rotation —
+        # 56 queries carry oracles but the driver's correctness window
+        # is 50: the six below sit outside it BY CHOICE (r6 rotation —
         # their operator CLASSES are already exercised by in-window rows:
         # revenue_by_nation by top_suppliers_per_nation's join+agg,
         # events_pivot by events_type_counts_salted's wide agg, and
@@ -1098,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _lineitem_rollup,
         "doc_pack_bfd": _doc_pack_bfd,
         "lm_trigram_counts": _lm_trigram_counts,
+        "embedding_kmeans": _embedding_kmeans,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_kn_perplexity": _doc_kn_perplexity,
         "doc_langid": _doc_langid,
@@ -1720,6 +1734,30 @@ def oracle_sql() -> dict[str, str]:
             " AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4) "
             "SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep "
             "FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id"
+        ),
+        "embedding_kmeans": (
+            # Lloyd k-means, md5-seeded, 2 centroid updates + final
+            # assignment — each iteration one (assign, mean, coalesce)
+            # CTE triple; empty clusters keep their previous centroid;
+            # every argmin on rounded-6dp distance, ties → lowest seed
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            " WHERE len(embedding) = 64), "
+            "p AS (SELECT vec_id AS pid, v AS pv FROM e "
+            " ORDER BY md5(concat_ws('|', 'km', vec_id)), vec_id LIMIT 8), "
+            "a0 AS (SELECT e.vec_id, e.v, (SELECT c.pid FROM p c "
+            " ORDER BY round(list_distance(e.v, c.pv), 6) ASC, c.pid ASC LIMIT 1) AS cid FROM e), "
+            "m0 AS (SELECT cid, pos, avg(v[pos]) AS mv "
+            " FROM a0, range(1, 65) AS t(pos) GROUP BY cid, pos), "
+            "c0 AS (SELECT p.pid, coalesce(n.cv, p.pv) AS pv FROM p LEFT JOIN "
+            " (SELECT cid AS pid, list(mv ORDER BY pos) AS cv FROM m0 GROUP BY cid) n USING (pid)), "
+            "a1 AS (SELECT e.vec_id, e.v, (SELECT c.pid FROM c0 c "
+            " ORDER BY round(list_distance(e.v, c.pv), 6) ASC, c.pid ASC LIMIT 1) AS cid FROM e), "
+            "m1 AS (SELECT cid, pos, avg(v[pos]) AS mv "
+            " FROM a1, range(1, 65) AS t(pos) GROUP BY cid, pos), "
+            "c1 AS (SELECT p.pid, coalesce(n.cv, p.pv) AS pv FROM c0 p LEFT JOIN "
+            " (SELECT cid AS pid, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cid) n USING (pid)) "
+            "SELECT e.vec_id, (SELECT c.pid FROM c1 c "
+            " ORDER BY round(list_distance(e.v, c.pv), 6) ASC, c.pid ASC LIMIT 1) AS cluster FROM e"
         ),
         "embedding_near_dups": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
