@@ -862,6 +862,25 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable DataSketches-HLL cardinality (operators/sketches.py):
+    # per-(event_type, day) sketches unioned into per-type totals —
+    # the store-sketches-not-recounts pattern. Rows-only by design
+    # (DuckDB's approx_count_distinct is a different sketch);
+    # accuracy / slice-merge≡global / layout invariance / bounded
+    # state are pytest-gated (tests/test_sketches.py)
+    from contessa_spark.operators.sketches import (
+        cardinality_sketches,
+        merge_sketches,
+    )
+
+    ev = _load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = cardinality_sketches(ev, "user_id", ["event_type", "day"])
+    return merge_sketches(daily, "event_type").select(
+        "event_type", "approx_distinct"
+    )
+
+
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q5-lite star join: fact lineitem joins the supplier →
     # nation dimension chain. Both dims are tiny → explicit broadcast,
@@ -1125,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": _embedding_near_dups_lsh,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
+        "events_user_sketch_rollup": _events_user_sketch_rollup,
     }
 
 
