@@ -862,6 +862,24 @@ def _ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_top_users_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Misra–Gries heavy hitters (operators/heavy_hitters.py) in the
+    # EXACT regime: capacity 16384 ≥ distinct users per type at every
+    # SF, so zero decrements → est_count is the true count and the
+    # result equals the SQL top-k (oracle below). The approximate
+    # regime (tiny capacity, guarantee bounds under arbitrary layouts)
+    # is pytest-gated (tests/test_heavy_hitters.py)
+    from contessa_spark.operators.heavy_hitters import misra_gries_topk
+
+    return misra_gries_topk(
+        _load(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        k=10,
+        capacity=16384,
+    )
+
+
 def _events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable DataSketches-HLL cardinality (operators/sketches.py):
     # per-(event_type, day) sketches unioned into per-type totals —
@@ -1114,8 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
-        # 56 queries carry oracles but the driver's correctness window
-        # is 50: the six below sit outside it BY CHOICE (r6 rotation —
+        # 57 queries carry oracles but the driver's correctness window
+        # is 50: the seven below sit outside it BY CHOICE (r6 rotation —
         # their operator CLASSES are already exercised by in-window rows:
         # revenue_by_nation by top_suppliers_per_nation's join+agg,
         # events_pivot by events_type_counts_salted's wide agg, and
@@ -1131,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bfd": _doc_pack_bfd,
         "lm_trigram_counts": _lm_trigram_counts,
         "embedding_kmeans": _embedding_kmeans,
+        "events_top_users_mg": _events_top_users_mg,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_kn_perplexity": _doc_kn_perplexity,
         "doc_langid": _doc_langid,
@@ -1754,6 +1773,18 @@ def oracle_sql() -> dict[str, str]:
             " AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4) "
             "SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep "
             "FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id"
+        ),
+        "events_top_users_mg": (
+            # MG in the exact regime (capacity ≥ distinct): the summary
+            # carries true counts, zero undercount — equal to SQL top-k
+            # with the operator's (count DESC, item ASC) tie-break
+            "SELECT event_type, user_id AS item, n AS est_count, "
+            "0::BIGINT AS max_undercount, rank FROM ("
+            " SELECT event_type, user_id, count(*)::BIGINT AS n, "
+            "  row_number() OVER (PARTITION BY event_type "
+            "   ORDER BY count(*) DESC, user_id ASC)::INT AS rank "
+            " FROM events WHERE user_id IS NOT NULL "
+            " GROUP BY event_type, user_id) WHERE rank <= 10"
         ),
         "embedding_kmeans": (
             # Lloyd k-means, md5-seeded, 2 centroid updates + final
