@@ -495,6 +495,93 @@ def _pagerank_oracle_sql(iters: int = 3) -> str:
     return "".join(parts)
 
 
+# fixed audit queries over the corpus vocabulary (retrieval.py);
+# term sets differ in df so idf weighting is actually exercised
+_BM25_QUERIES = {
+    "q_join": "hash join order",
+    "q_scan": "table scan filter",
+    "q_stream": "window batch merge",
+}
+
+
+def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 lexical top-k (operators/retrieval.py): the keyword
+    # counterpart of ann_topk_* — broadcast query-term semi-join prunes
+    # the token stream before any shuffle; scores rounded to 6 dp on
+    # both engines, ties by doc_id (rounding-tie risk measure-zero,
+    # repo convention)
+    from contessa_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _load(spark, sf_dir, "documents"), _BM25_QUERIES, k=10
+    )
+
+
+def _domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs/authorities (operators/linkgraph.py) over the same
+    # synthetic-link-graph convention as domain_pagerank, with a second
+    # edge family so in/out-degrees vary: u → (7u+3)%100 and
+    # u → (3u+11)%100. Integer L1-normalized fixed-point scores
+    # hash-match the unrolled-CTE oracle exactly.
+    from contessa_spark.operators.linkgraph import hits
+
+    docs = _load(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 100).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 100).alias("dst"),
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") % 100).alias("src"),
+            ((F.col("doc_id") * 3 + 11) % 100).alias("dst"),
+        )
+    )
+    return hits(edges, iters=2)
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    # mirror of operators/linkgraph.py::hits — uniform scale//n init,
+    # per-half-step L1 renormalization via integer floor division
+    S = SCALE_PR
+    parts = [
+        "WITH e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT (doc_id % 100) AS src, ((doc_id * 7 + 3) % 100) AS dst "
+        "FROM documents UNION ALL "
+        "SELECT (doc_id % 100), ((doc_id * 3 + 11) % 100) FROM documents)), "
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        f"h0 AS (SELECT node, ({S} // (SELECT count(*) FROM n))::BIGINT AS h "
+        "FROM n)"
+    ]
+    for i in range(iters):
+        parts.append(
+            f", ar{i} AS (SELECT n.node, coalesce(s.c, 0)::BIGINT AS raw "
+            f"FROM n LEFT JOIN (SELECT e.dst AS node, sum(h{i}.h)::BIGINT AS c "
+            f"FROM e JOIN h{i} ON h{i}.node = e.src GROUP BY e.dst) s "
+            f"ON n.node = s.node), "
+            f"a{i + 1} AS (SELECT node, CASE WHEN t.t = 0 THEN 0 ELSE "
+            f"(raw * {S}) // t.t END::BIGINT AS a FROM ar{i}, "
+            f"(SELECT sum(raw)::BIGINT AS t FROM ar{i}) t), "
+            f"hr{i} AS (SELECT n.node, coalesce(s.c, 0)::BIGINT AS raw "
+            f"FROM n LEFT JOIN (SELECT e.src AS node, "
+            f"sum(a{i + 1}.a)::BIGINT AS c "
+            f"FROM e JOIN a{i + 1} ON a{i + 1}.node = e.dst GROUP BY e.src) s "
+            f"ON n.node = s.node), "
+            f"h{i + 1} AS (SELECT node, CASE WHEN t.t = 0 THEN 0 ELSE "
+            f"(raw * {S}) // t.t END::BIGINT AS h FROM hr{i}, "
+            f"(SELECT sum(raw)::BIGINT AS t FROM hr{i}) t)"
+        )
+    parts.append(
+        f" SELECT a.node, a.a AS auth_scaled, h.h AS hub_scaled "
+        f"FROM a{iters} a JOIN h{iters} h ON a.node = h.node"
+    )
+    return "".join(parts)
+
+
+def _bm25_oracle() -> str:
+    from contessa_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_QUERIES, k=10)
+
+
 def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real trained-BPE token budgets next to the ws baseline. Rows-only
     # by design: greedy lowest-rank merge application is sequential per
@@ -880,6 +967,25 @@ def _events_top_users_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable quantile summaries (operators/quantiles.py) in the
+    # EXACT regime: capacity 32768 ≥ rows per (partition, event_type)
+    # at every SF, so no compaction fires → max_rank_error = 0 and the
+    # estimate is the definitional value at 1-indexed rank ⌈φ·N⌉
+    # (⌈·⌉ of the IEEE-double product on both engines — oracle below).
+    # The approximate regime (small capacity, rank-error guarantee
+    # under arbitrary layouts) is pytest-gated (tests/test_quantiles.py)
+    from contessa_spark.operators.quantiles import grouped_quantiles
+
+    return grouped_quantiles(
+        _load(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        phis=(0.25, 0.5, 0.75, 0.9),
+        capacity=32768,
+    )
+
+
 def _events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable DataSketches-HLL cardinality (operators/sketches.py):
     # per-(event_type, day) sketches unioned into per-type totals —
@@ -1150,6 +1256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram_counts": _lm_trigram_counts,
         "embedding_kmeans": _embedding_kmeans,
         "events_top_users_mg": _events_top_users_mg,
+        "events_value_quantiles": _events_value_quantiles,
+        "domain_hits": _domain_hits,
+        "doc_bm25_topk": _doc_bm25_topk,
         # ---- rows-only (no SQL oracle by design; each pytest-gated) ----
         "doc_kn_perplexity": _doc_kn_perplexity,
         "doc_langid": _doc_langid,
@@ -1732,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
             "('example1.com', 'media2.net', 'site0.org', 'site3.org')"
         ),
         "domain_pagerank": _pagerank_oracle_sql(3),
+        "domain_hits": _hits_oracle_sql(2),
+        "doc_bm25_topk": _bm25_oracle(),
         "doc_badwords": (
             f"WITH w AS (SELECT doc_id, text, "
             f"list_transform(list_filter(string_split_regex(text, '[{_WS}]+'), x -> x <> ''), x -> lower(x)) AS ws "
@@ -1785,6 +1896,24 @@ def oracle_sql() -> dict[str, str]:
             "   ORDER BY count(*) DESC, user_id ASC)::INT AS rank "
             " FROM events WHERE user_id IS NOT NULL "
             " GROUP BY event_type, user_id) WHERE rank <= 10"
+        ),
+        "events_value_quantiles": (
+            # quantile summary in the exact regime: estimate = value at
+            # 1-indexed rank ⌈φ·N⌉ of the ascending multiset, zero rank
+            # error. φ cast to DOUBLE so ⌈φ·N⌉ is the same IEEE-double
+            # product on both engines; row_number tie order within
+            # equal values is irrelevant to the value picked at a rank
+            "WITH v AS (SELECT event_type, value FROM events "
+            " WHERE value IS NOT NULL), "
+            "n AS (SELECT event_type, count(*)::BIGINT AS n FROM v "
+            " GROUP BY event_type), "
+            "r AS (SELECT event_type, value, row_number() OVER ("
+            " PARTITION BY event_type ORDER BY value)::BIGINT AS rk FROM v), "
+            "p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS phi) "
+            "SELECT n.event_type, p.phi, r.value AS quantile_est, "
+            "0::BIGINT AS max_rank_error "
+            "FROM n CROSS JOIN p JOIN r ON r.event_type = n.event_type "
+            " AND r.rk = ceil(p.phi * n.n)::BIGINT"
         ),
         "embedding_kmeans": (
             # Lloyd k-means, md5-seeded, 2 centroid updates + final

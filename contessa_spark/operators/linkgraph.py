@@ -116,3 +116,109 @@ def pagerank(
             # lazy engine; truncate lineage like dedup_components does
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = SCALE,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over an edge list →
+    (node, auth_scaled, hub_scaled), L1-normalized fixed-point integers
+    with Σ score ≈ ``scale`` per vector.
+
+    The second classic link-authority signal next to :func:`pagerank`:
+    a page is a good *authority* if good *hubs* link to it, and vice
+    versa — mutual recursion, solved by power iteration. Each half-step
+    is one join (pull the partner score across an edge) + one map-side-
+    combined sum + one global L1 normalization (a single-row aggregate,
+    broadcast back).
+
+    DETERMINISM — same integer design as :func:`pagerank`: scores are
+    scaled longs, sums are exactly associative-commutative, and the
+    normalization is ``raw * scale div total`` (LONG floor division),
+    so any layout / engine / summation order is bit-identical. (Float
+    HITS normalizes by the L2 norm; any fixed positive normalization
+    yields the same ranking fixed point, and L1 keeps the arithmetic
+    in integers.)
+
+    OVERFLOW-SAFE BY CONSTRUCTION: hubs initialize at ``scale div
+    n_nodes`` (one count over the checkpointed node list), so every
+    vector's L1 mass is ≤ ``scale`` from the start and stays so after
+    each normalization. Hence a raw half-step sum is ≤ scale, the
+    rescale product ≤ scale², and a total ≤ max_outdegree × scale —
+    all < 2⁶³ for the default scale up to ~9×10⁹ degree. Requires
+    ``scale ≥ n_nodes`` (raises otherwise); at 10⁹ nodes the uniform
+    init is coarse (1 ulp) but the first normalization restores full
+    ``scale`` resolution.
+
+    Parallel edges count once (``distinct()``-ed, mirror in oracles).
+    A node with no in-edges has authority 0; no out-edges → hub 0. If
+    an entire vector sums to 0 (degenerate graphs) it stays all-zero
+    instead of dividing by zero.
+
+    Reference parity: no counterpart in contessa (SURVEY.md §2
+    extension — crawl-quality priors, linkgraph family).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # loop-invariant: materialize once (see pagerank above)
+    e = e.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+
+    def _pull_and_normalize(
+        score: DataFrame, score_col: str, edge_from: str, edge_to: str, out_col: str
+    ) -> DataFrame:
+        """out[v] = normalize(Σ_{edge (from=u, to=v)} score[u])."""
+        raw = (
+            e.join(score, e[edge_from] == score["node"])
+            .groupBy(F.col(edge_to).alias("node"))
+            .agg(F.sum(score_col).alias("_raw"))
+        )
+        raw = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col("_raw"), F.lit(0)).cast("long").alias("_raw")
+        )
+        total = raw.agg(F.sum("_raw").cast("long").alias("_t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.when(F.col("_t") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr(f"(_raw * {int(scale)}L) div _t"))
+            .alias(out_col),
+        )
+
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("auth_scaled"),
+            F.lit(0).cast("long").alias("hub_scaled"),
+        )
+    init = int(scale) // n_nodes
+    if init == 0:
+        raise ValueError(
+            f"hits: scale={scale} < n_nodes={n_nodes}; raise `scale` "
+            "(keep scale**2 < 2**63) so the uniform init is non-zero"
+        )
+    hub = nodes.withColumn("hub_scaled", F.lit(init).cast("long"))
+    auth = None
+    for i in range(iters):
+        auth = _pull_and_normalize(hub, "hub_scaled", "src", "dst", "auth_scaled")
+        hub = _pull_and_normalize(auth, "auth_scaled", "dst", "src", "hub_scaled")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return auth.join(hub, "node")

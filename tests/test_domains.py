@@ -233,3 +233,93 @@ def test_pagerank_layout_invariant(spark):
     a = sorted(map(tuple, pagerank(edges, iters=3).collect()))
     b = sorted(map(tuple, pagerank(edges.repartition(13), iters=3).collect()))
     assert a == b and a
+
+
+# ------------------------------------------------------------- HITS
+
+
+def _hits_ref(edges, iters, S):
+    """Python-int mirror of operators.linkgraph.hits arithmetic."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: S // len(nodes) for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        t = sum(raw.values())
+        auth = {n: (raw[n] * S) // t if t else 0 for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        t = sum(raw.values())
+        hub = {n: (raw[n] * S) // t if t else 0 for n in nodes}
+    return auth, hub
+
+
+def test_hits_star_golden(spark):
+    """In-star {1,2,3}→0: node 0 is the pure authority (score = scale
+    exactly), spokes are pure hubs at scale div 3 each."""
+    from contessa_spark.operators.linkgraph import SCALE, hits
+
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    got = {r["node"]: (r["auth_scaled"], r["hub_scaled"]) for r in
+           hits(star, iters=2).collect()}
+    third = SCALE // 3
+    assert got == {
+        0: (SCALE, 0),
+        1: (0, third),
+        2: (0, third),
+        3: (0, third),
+    }
+
+
+def test_hits_matches_python_reference_and_multigraph(spark):
+    """Richer bipartite-ish graph vs the pure-python integer mirror;
+    duplicated edges must not double-count."""
+    from contessa_spark.operators.linkgraph import SCALE, hits
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (10, 3)]
+    auth, hub = _hits_ref(edges, 2, SCALE)
+    df = spark.createDataFrame(edges + edges[:2], "src long, dst long")
+    got = {r["node"]: (r["auth_scaled"], r["hub_scaled"]) for r in
+           hits(df, iters=2).collect()}
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+
+
+def test_hits_layout_invariant(spark):
+    """Bit-identical integer scores under any physical partitioning."""
+    from contessa_spark.operators.linkgraph import hits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 3 + 11) % 50).alias("dst"),
+        )
+    )
+    a = sorted(map(tuple, hits(edges, iters=2).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(13), iters=2).collect()))
+    assert a == b and a
+    # normalization: each vector's L1 mass is ≈ scale (never above)
+    from contessa_spark.operators.linkgraph import SCALE
+
+    sa = sum(r[1] for r in a)
+    sh = sum(r[2] for r in a)
+    assert 0 < sa <= SCALE and 0 < sh <= SCALE
+
+
+def test_hits_scale_too_small_raises(spark):
+    import pytest as _pytest
+
+    from contessa_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _pytest.raises(ValueError, match="scale"):
+        hits(df, iters=1, scale=2)
