@@ -347,3 +347,36 @@ def test_pagerank_materializes_loop_invariants(spark):
     )
     plan = _plan(pagerank(edges, iters=3))
     assert plan.count("FileScan parquet") == 0
+
+
+def test_hits_materializes_loop_invariants(spark):
+    """Same lesson as pagerank: after the eager checkpoints of edges
+    and nodes, the iteration plan must not re-scan the source."""
+    from contessa_spark.operators.linkgraph import hits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).alias("dst"),
+    )
+    plan = _plan(hits(edges, iters=2))
+    assert plan.count("FileScan parquet") == 0
+
+
+def test_bm25_broadcasts_query_terms_never_sorts_tokens(spark):
+    """The exploded token stream must be pruned by a BROADCAST join on
+    the (tiny) query-term set — a sort-merge join there would shuffle
+    every token of the corpus. The only wide ops allowed are the
+    per-(doc,term) / per-doc aggregates and the final per-query
+    window over scored candidates."""
+    from contessa_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_topk(docs, {"q": "table scan merge"}, k=10))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join may touch the raw token stream: every SMJ key
+    # in this plan is doc_id (post-aggregation), never `term`
+    import re
+
+    for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "term" not in m.group(1), m.group(0)
