@@ -517,6 +517,45 @@ def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: query_id ↔ query embedding row (vec_id) for the hybrid retriever
+_HYBRID_QVECS = {"q_join": 0, "q_scan": 1, "q_stream": 2}
+
+
+def _doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    # (operators/retrieval.py:rrf_fuse): BM25 top-20 fused with exact
+    # cosine top-20 (query vectors = embedding rows 0/1/2 standing in
+    # for encoded queries), k0=60. Both inputs are per-query capped
+    # lists, so fusion never touches the corpus; the sum is a fixed
+    # left-to-right coalesce chain → cross-engine bit-identical.
+    from contessa_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from contessa_spark.operators.similarity import brute_force_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    lexical = bm25_topk(docs, _BM25_QUERIES, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    qmap = F.create_map(
+        *[
+            x
+            for name, vid in sorted(_HYBRID_QVECS.items())
+            for x in (F.lit(vid), F.lit(name))
+        ]
+    )
+    qvecs = emb.where(
+        F.col("vec_id") < len(_HYBRID_QVECS)
+    )
+    semantic = brute_force_topk(emb, qvecs, k=20, dim=64).select(
+        qmap[F.col("query_id")].alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse(
+        {"lexical": lexical, "semantic": semantic}, k=10, k0=60
+    )
+
+
 def _domain_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HITS hubs/authorities (operators/linkgraph.py) over the same
     # synthetic-link-graph convention as domain_pagerank, with a second
@@ -580,6 +619,48 @@ def _bm25_oracle() -> str:
     from contessa_spark.operators.retrieval import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_QUERIES, k=10)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from contessa_spark.operators.retrieval import (
+        bm25_oracle_sql,
+        rrf_oracle_sql,
+    )
+
+    lex = (
+        "SELECT query_id, doc_id, rank FROM ("
+        + bm25_oracle_sql(_BM25_QUERIES, k=20)
+        + ")"
+    )
+    case = " ".join(
+        f"WHEN {vid} THEN '{name}'"
+        for name, vid in sorted(_HYBRID_QVECS.items())
+    )
+    sem = (
+        "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+        f" WHERE vec_id < {len(_HYBRID_QVECS)}), "
+        "s AS (SELECT q.vec_id AS qv, c.vec_id AS doc_id, "
+        " round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine "
+        " FROM q, embeddings c WHERE c.vec_id <> q.vec_id) "
+        f"SELECT CASE qv {case} END AS query_id, doc_id, rank FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY qv "
+        "  ORDER BY cosine DESC, doc_id ASC)::INT AS rank FROM s) "
+        "WHERE rank <= 20"
+    )
+    return rrf_oracle_sql({"lexical": lex, "semantic": sem}, k=10, k0=60)
+
+
+def _rule_drift_oracle() -> str:
+    from contessa_spark.operators.monitoring import rule_drift_oracle_sql
+
+    return rule_drift_oracle_sql(
+        {name: sql for name, _, sql in _DRIFT_RULES},
+        table="events",
+        ts_col="ts",
+        bucket_interval="INTERVAL 1 HOUR",
+        trailing=6,
+        z_threshold=2.0,
+    )
 
 
 def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,6 +1243,35 @@ def _lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: drift-monitored rules: (name, Spark pass-pred builder, SQL pass-pred)
+_DRIFT_RULES = [
+    ("not_error", lambda: F.col("event_type") != "error", "event_type <> 'error'"),
+    ("value_gte_1", lambda: F.col("value") >= 1, "value >= 1"),
+    ("value_lt_100", lambda: F.col("value") < 100, "value < 100"),
+]
+
+
+def _rule_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rule pass-rate drift detection (operators/monitoring.py): every
+    # rule folds into ONE per-hour-bucket scan (2 counters per rule —
+    # the compiler's 3N-counter design applied over event time), then
+    # trailing-6-bucket mean/sample-std window per rule flags buckets
+    # whose failure rate z-scores past 2.0. Rounded-then-divide makes
+    # the z cross-engine exact; extends the reference's stored
+    # QualityCheck time series into in-engine trend analysis.
+    from contessa_spark.operators.monitoring import rule_drift
+
+    ev = _load(spark, sf_dir, "events")
+    return rule_drift(
+        ev,
+        {name: mk() for name, mk, _ in _DRIFT_RULES},
+        ts_col="ts",
+        bucket="1 hour",
+        trailing=6,
+        z_threshold=2.0,
+    )
+
+
 def _events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.skew import salted_counts
 
@@ -1202,7 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alpha_words": _doc_alpha_words,
         "doc_pack_assignments": _doc_pack_assignments,
         "doc_dup_ngrams": _doc_dup_ngrams,
-        "doc_dup_ngrams5": _doc_dup_ngrams5,
+        "doc_hybrid_rrf": _doc_hybrid_rrf,
         "doc_dup_lines": _doc_dup_lines,
         "doc_top_ngrams": _doc_top_ngrams,
         "token_topk_per_lang": _token_topk_per_lang,
@@ -1234,21 +1344,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": _events_hourly_rollup,
         "events_sessions": _events_sessions,
         "events_type_counts_salted": _events_type_counts_salted,
-        "top_suppliers_per_nation": _top_suppliers_per_nation,
+        "rule_drift_events": _rule_drift_events,
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
-        # 57 queries carry oracles but the driver's correctness window
-        # is 50: the seven below sit outside it BY CHOICE (r6 rotation —
-        # their operator CLASSES are already exercised by in-window rows:
-        # revenue_by_nation by top_suppliers_per_nation's join+agg,
-        # events_pivot by events_type_counts_salted's wide agg, and
-        # lineitem_rollup by events_hourly_rollup's GROUPING SETS; the
-        # rotation let the r5 additions doc_chunks / doc_badwords /
-        # dedup_ngram_jaccard_capped into the driver gate).
+        # More queries carry oracles than the driver's 50-slot window
+        # holds: the block below sits outside it BY CHOICE (r6 rotation
+        # — their operator CLASSES are already exercised by in-window
+        # rows: revenue_by_nation by the lineitem join+aggs,
+        # top_suppliers_per_nation by token_topk_per_lang's
+        # top-k-per-group, events_pivot by events_type_counts_salted's
+        # wide agg, lineitem_rollup by events_hourly_rollup's
+        # GROUPING SETS, and doc_dup_ngrams5 by doc_dup_ngrams (same
+        # operator, n=5 vs n=3); the rotation let the r5/r6 additions —
+        # doc_chunks, doc_badwords, dedup_ngram_jaccard_capped,
+        # rule_drift_events, doc_hybrid_rrf — into the driver gate).
         # tests/test_oracle_parity.py checks EVERY oracle on every
         # pytest run regardless of position — at sf0.01, and at sf0.001
         # / sf0.1 via SPARK_GRAFT_ORACLE_SF.
+        "doc_dup_ngrams5": _doc_dup_ngrams5,
+        "top_suppliers_per_nation": _top_suppliers_per_nation,
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
         "lineitem_rollup": _lineitem_rollup,
@@ -1842,6 +1957,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "domain_pagerank": _pagerank_oracle_sql(3),
         "domain_hits": _hits_oracle_sql(2),
+        "rule_drift_events": _rule_drift_oracle(),
+        "doc_hybrid_rrf": _hybrid_rrf_oracle(),
         "doc_bm25_topk": _bm25_oracle(),
         "doc_badwords": (
             f"WITH w AS (SELECT doc_id, text, "

@@ -163,3 +163,104 @@ def bm25_oracle_sql(
         "  PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank "
         f" FROM sc) WHERE rank <= {int(k)}"
     )
+
+
+def rrf_fuse(
+    rankings: Dict[str, DataFrame],
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several ranked lists →
+    (query_id, doc_id, rrf_score, rank).
+
+    ``rankings`` maps system name → a DataFrame with columns
+    ``(query_id, doc_id, rank)`` — e.g. :func:`bm25_topk` for the
+    lexical side and ``similarity.brute_force_topk`` (renamed) for the
+    semantic side.  RRF (Cormack et al., SIGIR'09):
+
+        rrf(q, d) = Σ_systems 1 / (k0 + rank_s(q, d))
+
+    with absent (q, d) contributing 0.  Hybrid lexical+semantic fusion
+    is the standard first-stage retriever for RAG corpora; rank-based
+    fusion needs no score calibration between systems.
+
+    Spark-first shape: each input is already a per-query top-k — at
+    most ``queries × k_in`` rows per system no matter the corpus size
+    — so the full-outer joins and the final per-query window run on
+    capped candidate lists, never the corpus.  The expensive work
+    (corpus scans, shuffles) lives in the upstream systems, which are
+    independently scale-shaped.
+
+    DETERMINISM: systems join in sorted-name order and the fused sum
+    is a fixed left-to-right addition chain of ``coalesce(1.0 /
+    (k0 + rank_s), 0.0)`` terms, so both engines add bit-identical
+    doubles in the same association order; rounded to 6 dp, ties break
+    by ascending doc_id.
+
+    Reference parity: no counterpart in contessa (SURVEY.md §2
+    extension — retrieval/search family).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: empty rankings")
+    if k <= 0 or k0 <= 0:
+        raise ValueError("rrf_fuse: k and k0 must be positive")
+    names = sorted(rankings)
+    wide = None
+    for name in names:
+        part = rankings[name].select(
+            "query_id", "doc_id", F.col("rank").alias(f"__r_{name}")
+        )
+        wide = (
+            part
+            if wide is None
+            else wide.join(part, ["query_id", "doc_id"], "full_outer")
+        )
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r_{name}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    fused = wide.select(
+        "query_id", "doc_id", F.round(score, 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
+def rrf_oracle_sql(
+    system_sqls: Dict[str, str],
+    k: int = 10,
+    k0: int = 60,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse`; each value of
+    ``system_sqls`` must be a query yielding (query_id, doc_id, rank).
+    The FULL OUTER JOIN ... USING chain coalesces the keys exactly as
+    Spark's multi-column equi-join does, and the fused sum adds the
+    same coalesce terms in the same sorted-system order."""
+    names = sorted(system_sqls)
+    ctes = ", ".join(
+        f"s_{name} AS ({system_sqls[name]})" for name in names
+    )
+    joined = f"s_{names[0]}"
+    for name in names[1:]:
+        joined += f" FULL OUTER JOIN s_{name} USING (query_id, doc_id)"
+    terms = " + ".join(
+        f"coalesce(1.0 / ({int(k0)} + s_{name}.rank), 0.0)" for name in names
+    )
+    return (
+        f"WITH {ctes}, "
+        f"f AS (SELECT query_id, doc_id, round({terms}, 6) AS rrf_score "
+        f" FROM {joined}) "
+        "SELECT query_id, doc_id, rrf_score, rank FROM ("
+        " SELECT query_id, doc_id, rrf_score, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC)::INT AS rank "
+        f" FROM f) WHERE rank <= {int(k)}"
+    )

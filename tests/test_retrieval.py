@@ -6,6 +6,8 @@ import math
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -104,3 +106,56 @@ def test_bm25_validation(spark):
         bm25_topk(df, {"q": "x"}, k=0)
     with pytest.raises(ValueError):
         bm25_topk(df, {"q": "   "})
+
+
+def test_rrf_fuse_golden(spark):
+    from contessa_spark.operators.retrieval import rrf_fuse
+
+    # system A ranks docs 1,2,3; system B ranks 2,1,4
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 1, 2), ("q", 4, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse({"a": a, "b": b}, k=10, k0=60).collect()
+    }
+    want = {
+        1: 1 / 61 + 1 / 62,
+        2: 1 / 62 + 1 / 61,
+        3: 1 / 63,
+        4: 1 / 63,
+    }
+    assert set(got) == set(want)
+    for d, (s, _r) in got.items():
+        assert s == pytest.approx(round(want[d], 6), abs=1e-9)
+    # docs 1 and 2 tie at the top → doc_id breaks the tie; 3 and 4
+    # tie below → again by doc_id
+    assert [d for d, (_s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == [
+        1,
+        2,
+        3,
+        4,
+    ]
+
+
+def test_rrf_fuse_k_cap_and_validation(spark):
+    import pytest as _pytest
+
+    from contessa_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 6)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = rrf_fuse({"only": a}, k=3, k0=60).collect()
+    assert len(out) == 3
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    with _pytest.raises(ValueError):
+        rrf_fuse({}, k=3)
+    with _pytest.raises(ValueError):
+        rrf_fuse({"only": a}, k=0)
