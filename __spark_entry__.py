@@ -1153,6 +1153,55 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media)
 
 
+def _media_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual image near-dup detection (operators/image_dedup.py):
+    # planted duplicate families — doc_id < 500, group g = doc_id % 50,
+    # image = 16×18 BMP realizing codeword splitmix64(g) with
+    # brightness offset (doc_id // 50) % 32. dHash compares exact
+    # integer cross-products, so the brightness term cancels and every
+    # group member hashes to EXACTLY the group codeword; the 50
+    # codewords sit ≥ 18 bits apart (asserted in tests), so the
+    # near-dup pairs at max_hamming=4 are precisely the within-group
+    # pairs at hamming 0 — which the oracle recomputes arithmetically.
+    # The full encode→decode→hash→band→verify path must hold for the
+    # row set to match.
+    import pandas as pd
+
+    from contessa_spark.operators.image_dedup import (
+        bmp24_from_gray,
+        codeword_image_gray,
+        image_dhash,
+        image_near_dups,
+        splitmix64,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 500)
+    )
+
+    def make_media(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        bmp24_from_gray(
+                            codeword_image_gray(
+                                splitmix64(i % 50), (i // 50) % 32
+                            )
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make_media, schema="media_id long, payload binary")
+    return image_near_dups(image_dhash(media), max_hamming=4)
+
+
 def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real RIFF/WAVE payloads (PCM16, deterministic sawtooth samples)
     # synthesized per doc_id, then actually decoded — headers AND the
@@ -1323,7 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": _corpus_line_dedup,
         "corpus_sentence_dedup": _corpus_sentence_dedup,
         "doc_substring_dedup": _doc_substring_dedup,
-        "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
+        "media_image_dups": _media_image_dups,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_mixture_sample": _doc_mixture_sample,
         "doc_textnorm": _doc_textnorm,
@@ -1355,14 +1404,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top_suppliers_per_nation by token_topk_per_lang's
         # top-k-per-group, events_pivot by events_type_counts_salted's
         # wide agg, lineitem_rollup by events_hourly_rollup's
-        # GROUPING SETS, and doc_dup_ngrams5 by doc_dup_ngrams (same
-        # operator, n=5 vs n=3); the rotation let the r5/r6 additions —
-        # doc_chunks, doc_badwords, dedup_ngram_jaccard_capped,
-        # rule_drift_events, doc_hybrid_rrf — into the driver gate).
+        # GROUPING SETS, doc_dup_ngrams5 by doc_dup_ngrams (same
+        # operator, n=5 vs n=3), and doc_substring_dedup_dropall by
+        # doc_substring_dedup (same operator, drop-all vs keep-first);
+        # the rotation let the r5/r6 additions — doc_chunks,
+        # doc_badwords, dedup_ngram_jaccard_capped, rule_drift_events,
+        # doc_hybrid_rrf, media_image_dups — into the driver gate).
         # tests/test_oracle_parity.py checks EVERY oracle on every
         # pytest run regardless of position — at sf0.01, and at sf0.001
         # / sf0.1 via SPARK_GRAFT_ORACLE_SF.
         "doc_dup_ngrams5": _doc_dup_ngrams5,
+        "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "top_suppliers_per_nation": _top_suppliers_per_nation,
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
@@ -1959,6 +2011,12 @@ def oracle_sql() -> dict[str, str]:
         "domain_hits": _hits_oracle_sql(2),
         "rule_drift_events": _rule_drift_oracle(),
         "doc_hybrid_rrf": _hybrid_rrf_oracle(),
+        "media_image_dups": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "
+            "FROM documents a JOIN documents b "
+            " ON (a.doc_id % 50) = (b.doc_id % 50) AND a.doc_id < b.doc_id "
+            "WHERE a.doc_id < 500 AND b.doc_id < 500"
+        ),
         "doc_bm25_topk": _bm25_oracle(),
         "doc_badwords": (
             f"WITH w AS (SELECT doc_id, text, "
