@@ -830,6 +830,42 @@ def _doc_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: train/val/test weights for the split query; German gets a larger
+#: holdout (the per-stratum override path)
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLITS_DE = [("train", 0.5), ("val", 0.25), ("test", 0.25)]
+
+
+def _doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic train/val/test split (operators/sampling.py):
+    # contiguous md5-prefix hash ranges — disjoint, exhaustive,
+    # append-stable (new docs never move old ones between splits),
+    # zero shuffle; per-stratum weight override for 'de'
+    from contessa_spark.operators.sampling import split_assign
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(
+        docs,
+        _SPLITS,
+        key_cols=["doc_id"],
+        salt="r6split",
+        strata_col="lang",
+        strata_splits={"de": _SPLITS_DE},
+    )
+
+
+def _split_assign_oracle() -> str:
+    from contessa_spark.operators.sampling import split_assign_sql_case
+
+    base = split_assign_sql_case(_SPLITS, ["doc_id"], salt="r6split")
+    de = split_assign_sql_case(_SPLITS_DE, ["doc_id"], salt="r6split")
+    return (
+        "SELECT doc_id, lang, "
+        f"CASE WHEN lang = 'de' THEN {de} ELSE {base} END AS split "
+        "FROM documents"
+    )
+
+
 def _doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DoReMi/Pile-style mixture construction: resample so the lang
     # distribution matches MIX_WEIGHTS in expectation, keeping maximal
@@ -1416,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_ngrams5": _doc_dup_ngrams5,
         "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "top_suppliers_per_nation": _top_suppliers_per_nation,
+        "doc_split_assign": _doc_split_assign,
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
         "lineitem_rollup": _lineitem_rollup,
@@ -2011,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_hits": _hits_oracle_sql(2),
         "rule_drift_events": _rule_drift_oracle(),
         "doc_hybrid_rrf": _hybrid_rrf_oracle(),
+        "doc_split_assign": _split_assign_oracle(),
         "media_image_dups": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "
             "FROM documents a JOIN documents b "

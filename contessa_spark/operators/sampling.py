@@ -169,3 +169,93 @@ def mixture_sample(
         .where(h < F.col("_thr"))
         .drop("_thr")
     )
+
+
+# ------------------------------------------------- train/val/test splits
+
+def split_assign(
+    df: DataFrame,
+    splits: List,
+    key_cols: List[str],
+    salt: str = "split0",
+    strata_col: Optional[str] = None,
+    strata_splits: Optional[Dict[str, List]] = None,
+) -> DataFrame:
+    """Deterministic multi-way dataset split → input columns +
+    ``split`` label.
+
+    ``splits`` is an ordered list of ``(name, weight)`` pairs summing
+    to ~1.0 (the last split absorbs hash-granularity remainder — it
+    owns the hash range past the final boundary).  Assignment is by
+    the same md5-prefix mechanism as :func:`hash_sample`: each split
+    owns a contiguous hash range, so splits are disjoint, exhaustive,
+    reproducible across runs/engines/partitionings, and STABLE UNDER
+    APPEND — a new document lands in a split without moving any
+    existing document (the property shuffle-based `randomSplit`
+    lacks, and the one that matters when a 10^12-doc corpus grows
+    incrementally).  ``strata_splits`` overrides the weight list for
+    chosen strata (e.g. hold out more of a low-resource language).
+
+    Scale shape: a pure-JVM projection — no shuffle, no window, no
+    state; the split predicate composes with partition pruning and
+    pushdown.  Per-stratum EXACT proportions would need a per-stratum
+    global rank (one task per stratum at 10^12 rows — a non-starter);
+    at 16⁶ hash granularity the realized fraction is within ~6e-8 of
+    the weight, which is the right trade at scale.
+    """
+    ranges = _split_ranges(splits)
+    h = sample_hash_col(key_cols, salt)
+    label = _split_case(h, ranges)
+    if strata_col is not None and strata_splits:
+        for value, sub in sorted(strata_splits.items()):
+            label = F.when(
+                F.col(strata_col) == value,
+                _split_case(h, _split_ranges(sub)),
+            ).otherwise(label)
+    return df.withColumn("split", label)
+
+
+def _split_ranges(splits: List) -> List:
+    """[(name, weight)] → [(name, upper_hex_bound)] with cumulative
+    boundaries; validates weights."""
+    if len(splits) < 2:
+        raise ValueError("split_assign: need at least 2 splits")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"split_assign: duplicate split names {names}")
+    total = sum(w for _, w in splits)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split_assign: weights sum to {total}, not 1")
+    out, cum = [], 0.0
+    for name, w in splits:
+        if w <= 0:
+            raise ValueError(f"split_assign: weight for {name} must be > 0")
+        cum += w
+        out.append((name, _threshold_hex(min(cum, 1.0))))
+    out[-1] = (out[-1][0], "gggggg")  # last split absorbs remainder
+    return out
+
+
+def _split_case(h: Column, ranges: List) -> Column:
+    label = F.lit(ranges[-1][0])
+    for name, bound in reversed(ranges[:-1]):
+        label = F.when(h < F.lit(bound), F.lit(name)).otherwise(label)
+    # reversed() builds WHEN h < t1 THEN s1 WHEN h < t2 THEN s2 … —
+    # first matching (smallest) bound wins, like the SQL CASE mirror
+    return label
+
+
+def split_assign_sql_case(
+    splits: List,
+    key_cols: List[str],
+    salt: str = "split0",
+) -> str:
+    """The SAME split CASE as ANSI SQL (DuckDB-ready) — oracle
+    sharing, mirroring :func:`hash_sample_sql_predicate`."""
+    ranges = _split_ranges(splits)
+    keys = ", ".join(key_cols)
+    h = f"substring(md5(concat_ws('|', '{salt}', {keys})), 1, 6)"
+    whens = " ".join(
+        f"WHEN {h} < '{bound}' THEN '{name}'" for name, bound in ranges[:-1]
+    )
+    return f"CASE {whens} ELSE '{ranges[-1][0]}' END"

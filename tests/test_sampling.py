@@ -153,3 +153,84 @@ def test_mixture_sample_null_strata_dropped(spark):
         rows = out.collect()
         assert rows, "en rows should survive"
         assert all(r["lang"] == "en" for r in rows)
+
+
+# ------------------------------------------------- split_assign
+
+def test_split_assign_disjoint_exhaustive_deterministic(spark):
+    from contessa_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = split_assign(df, splits, key_cols=["doc_id"], salt="t")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 4000  # exhaustive, one label per row
+    counts = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    # md5 is uniform: realized fractions within a few % of weights
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.03
+    assert abs(counts["test"] / 4000 - 0.1) < 0.03
+    # deterministic + partition-invariant
+    rows2 = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            df.repartition(7), splits, key_cols=["doc_id"], salt="t"
+        ).collect()
+    }
+    assert rows2 == rows
+
+
+def test_split_assign_append_stable(spark):
+    from contessa_spark.operators.sampling import split_assign
+
+    splits = [("train", 0.9), ("test", 0.1)]
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1500).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(small, splits, key_cols=["doc_id"]).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(big, splits, key_cols=["doc_id"]).collect()
+    }
+    # growing the corpus never moves an existing row between splits
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_assign_strata_override_and_null(spark):
+    from contessa_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 else None) for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = split_assign(
+        df,
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        key_cols=["doc_id"],
+        strata_col="lang",
+        strata_splits={"de": [("train", 0.2), ("val", 0.4), ("test", 0.4)]},
+    ).collect()
+    de = [r for r in out if r["lang"] == "de"]
+    base = [r for r in out if r["lang"] is None]  # NULL → default weights
+    frac_de = sum(r["split"] == "train" for r in de) / len(de)
+    frac_base = sum(r["split"] == "train" for r in base) / len(base)
+    assert abs(frac_de - 0.2) < 0.05
+    assert abs(frac_base - 0.8) < 0.05
+
+
+def test_split_assign_validation(spark):
+    from contessa_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, [("train", 1.0)], key_cols=["doc_id"])
+    with pytest.raises(ValueError):
+        split_assign(df, [("a", 0.5), ("a", 0.5)], key_cols=["doc_id"])
+    with pytest.raises(ValueError):
+        split_assign(df, [("a", 0.6), ("b", 0.6)], key_cols=["doc_id"])
+    with pytest.raises(ValueError):
+        split_assign(df, [("a", 1.2), ("b", -0.2)], key_cols=["doc_id"])
