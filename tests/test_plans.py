@@ -380,3 +380,56 @@ def test_bm25_broadcasts_query_terms_never_sorts_tokens(spark):
 
     for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
         assert "term" not in m.group(1), m.group(0)
+
+
+def test_image_near_dups_plan_no_cross_join(spark):
+    """Pair generation must stay an equi-join on (band_idx, band_val)
+    — never a cartesian/nested-loop product — and the Hamming
+    verification must be JVM bit_count, not a Python UDF."""
+    from contessa_spark.operators.image_dedup import image_near_dups
+
+    df = spark.createDataFrame(
+        [(i, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(64)],
+        "media_id long, dhash long",
+    )
+    plan = _plan(image_near_dups(df, max_hamming=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rrf_fusion_joins_are_broadcast(spark):
+    """Fused candidate lists are per-query top-k — tiny by definition
+    — so the full-outer fusion joins must broadcast, and no python
+    stage may appear in the fusion subtree."""
+    from contessa_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 21)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", i + 5, i) for i in range(1, 21)],
+        "query_id string, doc_id long, rank int",
+    )
+    plan = _plan(rrf_fuse({"a": a, "b": b}, k=10))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_assign_is_pure_projection(spark):
+    """split_assign adds a label column with NO shuffle, NO python
+    stage, NO join — the zero-cost-at-any-scale shape."""
+    from contessa_spark.operators.sampling import split_assign
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        split_assign(
+            df,
+            [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+            key_cols=["doc_id"],
+        )
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
