@@ -1238,6 +1238,51 @@ def _media_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(image_dhash(media), max_hamming=4)
 
 
+def _media_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # acoustic fingerprint near-dup detection (operators/audio_dedup.py)
+    # — planted clip families mirroring media_image_dups: doc_id < 500,
+    # group g = doc_id % 40, WAV realizing 32-bit codeword
+    # splitmix64(g) at volume scale 1 + (doc_id // 40) % 13. The
+    # energy-contour hash compares integer cross-products, so volume
+    # cancels and every member fingerprints to the group codeword; the
+    # 40 codewords sit > 6 bits apart (asserted in tests), so pairs at
+    # max_hamming=4 are exactly the within-group pairs at hamming 0.
+    # Full RIFF encode→parse→hash→band→verify path must hold to match.
+    import pandas as pd
+
+    from contessa_spark.operators.audio_dedup import (
+        audio_afp,
+        audio_near_dups,
+        codeword_wav_bytes,
+    )
+    from contessa_spark.operators.image_dedup import splitmix64
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 500)
+    )
+
+    def make_media(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        codeword_wav_bytes(
+                            splitmix64(i % 40) & 0xFFFFFFFF,
+                            scale=1 + (i // 40) % 13,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(make_media, schema="media_id long, payload binary")
+    return audio_near_dups(audio_afp(media), max_hamming=4)
+
+
 def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real RIFF/WAVE payloads (PCM16, deterministic sawtooth samples)
     # synthesized per doc_id, then actually decoded — headers AND the
@@ -1453,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "top_suppliers_per_nation": _top_suppliers_per_nation,
         "doc_split_assign": _doc_split_assign,
+        "media_audio_dups": _media_audio_dups,
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
         "lineitem_rollup": _lineitem_rollup,
@@ -2049,6 +2095,12 @@ def oracle_sql() -> dict[str, str]:
         "rule_drift_events": _rule_drift_oracle(),
         "doc_hybrid_rrf": _hybrid_rrf_oracle(),
         "doc_split_assign": _split_assign_oracle(),
+        "media_audio_dups": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "
+            "FROM documents a JOIN documents b "
+            " ON (a.doc_id % 40) = (b.doc_id % 40) AND a.doc_id < b.doc_id "
+            "WHERE a.doc_id < 500 AND b.doc_id < 500"
+        ),
         "media_image_dups": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "
             "FROM documents a JOIN documents b "

@@ -163,15 +163,20 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(hash_batches, schema=out_schema)
 
 
-def image_near_dups(
+def hamming_near_dups(
     hashes: DataFrame,
     max_hamming: int = 4,
     id_col: str = "media_id",
     hash_col: str = "dhash",
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """All pairs with ``popcount(h_a XOR h_b) <= max_hamming`` →
-    (id_a, id_b, hamming), id_a < id_b.
+    (id_a, id_b, hamming), id_a < id_b.  Modality-agnostic: any
+    fingerprint that fits a long works (64-bit image dHash, 32-bit
+    audio fingerprint — pass ``hash_bits`` so bands cover only the
+    populated bits; a constant-zero high band would put EVERY row in
+    one bucket and trip the cap).
 
     Lossless banding: ``max_hamming + 1`` disjoint bit bands — a pair
     within the threshold must match exactly on ≥1 band (pigeonhole),
@@ -181,14 +186,20 @@ def image_near_dups(
     by callers that care; degenerate fills would otherwise go
     quadratic)."""
     if max_hamming < 0 or max_hamming > 16:
-        raise ValueError("image_near_dups: max_hamming must be in [0, 16]")
+        raise ValueError("hamming_near_dups: max_hamming must be in [0, 16]")
+    if hash_bits < 1 or hash_bits > 64:
+        raise ValueError("hamming_near_dups: hash_bits must be in [1, 64]")
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    if hash_bits < n_bands:
+        raise ValueError(
+            "hamming_near_dups: need hash_bits >= max_hamming + 1 bands"
+        )
+    width = hash_bits // n_bands
     h = hashes.select(id_col, hash_col).where(F.col(hash_col).isNotNull())
     bands = []
     for i in range(n_bands):
         off = i * width
-        w = width if i < n_bands - 1 else 64 - off  # last band takes the slack
+        w = width if i < n_bands - 1 else hash_bits - off  # last takes slack
         mask = (1 << w) - 1
         bands.append(
             F.struct(
@@ -237,6 +248,24 @@ def image_near_dups(
         .distinct()
     )
     return pairs
+
+
+def image_near_dups(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`hamming_near_dups` over full 64-bit image dHashes."""
+    return hamming_near_dups(
+        hashes,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_bucket=max_bucket,
+        hash_bits=64,
+    )
 
 
 def splitmix64(x: int) -> int:
