@@ -116,13 +116,35 @@ def rule_drift(
         ).alias("r"),
     ).select("bucket_epoch", "r.rule_name", "r.total", "r.failed")
 
+    return drift_from_bucket_counts(
+        stacked, trailing=trailing, z_threshold=z_threshold
+    )
+
+
+def drift_from_bucket_counts(
+    counts: DataFrame,
+    trailing: int = 6,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """The trailing-statistics half of :func:`rule_drift`, over an
+    already-aggregated counter table ``(rule_name, bucket_epoch,
+    total, failed)`` — exactly the shape the Structured-Streaming
+    counter sink accumulates (``streaming/quality_stream.py::
+    stream_quality_counts``), which is the production wiring: the
+    stream maintains the per-window counters incrementally; drift
+    analysis is a cheap batch scan over that tiny table after each
+    trigger (trailing windows need ordered history, which is not a
+    streaming-state shape — and does not need to be)."""
+    if trailing < 2:
+        raise ValueError("drift_from_bucket_counts: trailing must be >= 2")
     # integer micro-unit failure rate: round-half-up without ever
     # leaving BIGINT arithmetic, then ONE exact division for display.
     # No round() anywhere on this path: Spark's round() rounds the
     # double's SHORTEST DECIMAL REPR (so 0.12569449…97 prints as
     # "0.1256945" and rounds UP) while DuckDB rounds the exact binary
     # value (DOWN) — small-rational inputs hit that divergence.
-    pct = stacked.withColumn(
+    z_threshold = float(z_threshold)
+    pct = counts.withColumn(
         "__pct_u",
         F.expr("(failed * 2000000 + total) div (2 * total)"),
     ).withColumn(

@@ -112,3 +112,62 @@ def test_windowed_counts_match_batch(spark, web_dir):
     ).collect()[0]
     assert (failed, passed) == (b["f"], b["p"])
     assert failed + passed == expected_total
+
+
+def test_stream_counts_feed_drift_detection(spark, web_dir):
+    """The production drift wiring: the stream maintains per-window
+    per-rule counters incrementally (bounded state); drift analysis is
+    a batch scan over that accumulated counter table. The streamed
+    counters must produce IDENTICAL drift rows to counters computed
+    directly from the batch input."""
+    src = os.path.join(web_dir, "src")
+    sink = os.path.join(web_dir, f"drift_sink_{uuid.uuid4().hex[:6]}")
+    ckpt = os.path.join(web_dir, f"drift_ckpt_{uuid.uuid4().hex[:6]}")
+    cfg = PipelineConfig()
+
+    from contessa_spark.operators.monitoring import drift_from_bucket_counts
+    from contessa_spark.pipeline import KEEP_RULES
+
+    # 60-day warc_ts spread over 400 docs → daily buckets carry ~7
+    # docs each; use a 1-day window via the stream's window parameter
+    counts = stream_quality_counts(
+        read_web_stream(spark, src), cfg, window="1 day", watermark="2 days"
+    )
+    run_available_now(counts, sink, ckpt)
+    stream_counts = (
+        spark.read.parquet(sink)
+        .select(
+            "rule_name",
+            F.unix_timestamp("window_start").alias("bucket_epoch"),
+            (F.col("failed") + F.col("passed")).alias("total"),
+            "failed",
+        )
+    )
+    stream_drift = {
+        (r["rule_name"], r["bucket_epoch"]): tuple(r)
+        for r in drift_from_bucket_counts(stream_counts, trailing=4).collect()
+    }
+
+    batch = with_decisions(annotate(spark.read.parquet(src)), cfg, bucket=False)
+    from contessa_spark.operators.monitoring import rule_drift
+
+    batch_drift = {
+        (r["rule_name"], r["bucket_epoch"]): tuple(r)
+        for r in rule_drift(
+            batch,
+            {n: F.col(f"rule_{n}") for n in KEEP_RULES},
+            ts_col="warc_ts",
+            bucket="1 day",
+            trailing=4,
+        ).collect()
+    }
+    # append mode emits only watermark-CLOSED windows: every emitted
+    # window must match the batch computation exactly, and the
+    # unemitted remainder must be confined to the trailing watermark
+    # region (the documented late-data contract)
+    assert stream_drift
+    assert all(batch_drift[k] == v for k, v in stream_drift.items())
+    missing = set(batch_drift) - set(stream_drift)
+    horizon = max(e for _r, e in stream_drift)
+    assert all(e > horizon for _r, e in missing)
+    assert len(stream_drift) >= 10  # enough buckets to be meaningful
