@@ -117,3 +117,31 @@ def test_audio_codeword_separation():
         bin(a ^ b).count("1") for i, a in enumerate(cw) for b in cw[i + 1 :]
     )
     assert mn > 6, mn
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_wav_samples_fuzz_never_crashes(payload):
+    """Arbitrary bytes (including RIFF-prefixed garbage) must decode
+    to None or a valid sample array — never raise."""
+    from contessa_spark.operators.audio_dedup import (
+        afp32_from_samples,
+        wav_pcm16_samples,
+    )
+
+    s = wav_pcm16_samples(payload)
+    if s is not None:
+        h = afp32_from_samples(s)
+        assert h is None or 0 <= h < (1 << 32)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_wav_samples_fuzz_riff_prefixed(payload):
+    from contessa_spark.operators.audio_dedup import wav_pcm16_samples
+
+    wav_pcm16_samples(b"RIFF\x10\x00\x00\x00WAVE" + payload)

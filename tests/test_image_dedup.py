@@ -136,3 +136,25 @@ def test_driver_codeword_separation():
         for b in cw[i + 1 :]
     )
     assert mn > 8, mn
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_bmp_grid_fuzz_never_crashes(payload):
+    """Arbitrary bytes (including BM-prefixed garbage) must decode to
+    None or a valid grid — never raise (containment, like the
+    multimodal corrupt-blob tests)."""
+    from contessa_spark.operators.image_dedup import (
+        bmp24_gray_grid,
+        dhash64_from_gray,
+    )
+
+    for blob in (payload, b"BM" + payload):
+        g = bmp24_gray_grid(blob)
+        if g is not None:
+            h = dhash64_from_gray(g)
+            assert h is None or -(1 << 63) <= h < (1 << 63)
