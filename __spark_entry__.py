@@ -1402,6 +1402,35 @@ def _rule_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed as-of join (operators/temporal.py): each click joined
+    # to the user's latest at-or-before signup snapshot — union-window
+    # shape, ONE key shuffle, no join node (plan-asserted in tests).
+    # The oracle is DuckDB's NATIVE ASOF LEFT JOIN: two independent
+    # implementations of the temporal-join semantics must agree row
+    # for row. Right side pre-aggregated per (user, ts) so "latest"
+    # is well-defined on both engines.
+    from contessa_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(left, right, on=["user_id"], value_cols=["snap_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("asof_ts").alias("asof_epoch"),
+        "snap_value",
+    )
+
+
 def _events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.skew import salted_counts
 
@@ -1499,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_suppliers_per_nation": _top_suppliers_per_nation,
         "doc_split_assign": _doc_split_assign,
         "media_audio_dups": _media_audio_dups,
+        "events_asof_snapshot": _events_asof_snapshot,
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
         "lineitem_rollup": _lineitem_rollup,
@@ -2100,6 +2130,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents a JOIN documents b "
             " ON (a.doc_id % 40) = (b.doc_id % 40) AND a.doc_id < b.doc_id "
             "WHERE a.doc_id < 500 AND b.doc_id < 500"
+        ),
+        "events_asof_snapshot": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            " WHERE event_type = 'click'), "
+            "r AS (SELECT user_id, ts, max(value) AS snap_value FROM events "
+            " WHERE event_type = 'signup' GROUP BY user_id, ts) "
+            "SELECT l.event_id, l.user_id, "
+            " floor(epoch(l.ts))::BIGINT AS ts_epoch, "
+            " floor(epoch(r.ts))::BIGINT AS asof_epoch, r.snap_value "
+            "FROM l ASOF LEFT JOIN r "
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "media_image_dups": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "
