@@ -1431,6 +1431,39 @@ def _events_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketized interval join (operators/temporal.py): clicks matched
+    # to every 2-day post-signup window of the same user. Intervals
+    # explode into daily buckets (pure-JVM sequence), the join is a
+    # plain equi-join on (user, bucket) — never the
+    # BroadcastNestedLoopJoin Spark plans for raw range predicates —
+    # and the exact half-open range filter runs post-match. Oracle is
+    # the naive DuckDB range join: fine at oracle scale, the trap at
+    # 10^12 rows.
+    from contessa_spark.operators.temporal import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    points = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("end_ts"),
+        F.col("event_id").alias("interval_id"),
+    )
+    out = interval_join(
+        points, intervals, on=["user_id"], bucket_seconds=86400
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "interval_id",
+        F.unix_timestamp("start_ts").alias("start_epoch"),
+    )
+
+
 def _events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.skew import salted_counts
 
@@ -1529,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": _doc_split_assign,
         "media_audio_dups": _media_audio_dups,
         "events_asof_snapshot": _events_asof_snapshot,
+        "events_interval_join": _events_interval_join,
         "revenue_by_nation": _revenue_by_nation,
         "events_pivot": _events_pivot,
         "lineitem_rollup": _lineitem_rollup,
@@ -2141,6 +2175,18 @@ def oracle_sql() -> dict[str, str]:
             " floor(epoch(r.ts))::BIGINT AS asof_epoch, r.snap_value "
             "FROM l ASOF LEFT JOIN r "
             " ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_interval_join": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            " WHERE event_type = 'click'), "
+            "i AS (SELECT user_id, ts AS start_ts, "
+            " ts + INTERVAL 2 DAY AS end_ts, event_id AS interval_id "
+            " FROM events WHERE event_type = 'signup') "
+            "SELECT p.event_id, p.user_id, "
+            " floor(epoch(p.ts))::BIGINT AS ts_epoch, i.interval_id, "
+            " floor(epoch(i.start_ts))::BIGINT AS start_epoch "
+            "FROM p JOIN i ON p.user_id = i.user_id "
+            " AND i.start_ts <= p.ts AND p.ts < i.end_ts"
         ),
         "media_image_dups": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "

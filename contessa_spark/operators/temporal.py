@@ -102,3 +102,86 @@ def asof_join(
     return carried.where(F.col("__is_right") == 0).select(
         *left_cols, "asof_ts", *value_cols
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: List[str],
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+    max_interval_buckets: int = 10_000,
+) -> DataFrame:
+    """Inner join of point rows to every interval row of the same key
+    containing them (``start <= ts < end``, the half-open convention)
+    → all point columns + all interval columns (minus the key).
+
+    Spark's own planner turns a range predicate into a
+    BroadcastNestedLoopJoin (small side) or falls over entirely (big
+    × big) — the classic scale trap.  This is the standard bucketized
+    (blocking) form instead: each interval explodes into the
+    ``bucket_seconds``-sized time buckets it overlaps (``sequence``
+    — pure JVM), points map to their single bucket, and the join is a
+    plain EQUI-join on (key, bucket) that shuffles and AQE-plans like
+    any other; the exact range predicate filters after the match.
+    Each point meets each matching interval in exactly ONE bucket
+    (the point's own), so no dedup pass is needed.  Cost scales with
+    interval length / bucket_seconds — ``max_interval_buckets``
+    raises (with the remedy in the message) rather than silently
+    exploding a year-long interval into 10⁶ rows at a 1-second
+    bucket.
+
+    Reference parity: no counterpart in contessa (SURVEY.md §2
+    extension — temporal-join family, with ``asof_join``).
+    """
+    if not on:
+        raise ValueError("interval_join: need at least one key column")
+    if bucket_seconds <= 0:
+        raise ValueError("interval_join: bucket_seconds must be positive")
+    b = int(bucket_seconds)
+
+    def _epoch(c):
+        # parquet TIMESTAMP_NTZ refuses a direct double cast; routing
+        # through "timestamp" handles both flavors identically
+        return F.col(c).cast("timestamp").cast("double")
+
+    start_bucket = F.floor(_epoch(start_col) / b).cast("long")
+    end_bucket = F.floor(_epoch(end_col) / b).cast("long")
+    # the guard lives INSIDE the consumed sequence bound — a separate
+    # guard column would be pruned away by the optimizer and never fire
+    guarded_end = F.when(
+        end_bucket - start_bucket + 1 <= int(max_interval_buckets),
+        end_bucket,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: an interval spans more than "
+                    f"{int(max_interval_buckets)} buckets of "
+                    f"{b}s — raise bucket_seconds or "
+                    "max_interval_buckets (interval start "
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
+    i_exploded = intervals.select(
+        *intervals.columns,
+        F.explode(F.sequence(start_bucket, guarded_end)).alias("__bucket"),
+    )
+    p_bucketed = points.withColumn(
+        "__bucket",
+        F.floor(F.col(ts_col).cast("timestamp").cast("double") / b).cast(
+            "long"
+        ),
+    )
+    joined = p_bucketed.join(i_exploded, on + ["__bucket"]).where(
+        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    out_cols = points.columns + [
+        c for c in intervals.columns if c not in on
+    ]
+    return joined.select(*out_cols)

@@ -114,3 +114,91 @@ def test_asof_join_plan_single_shuffle_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_golden_half_open_boundaries(spark):
+    from contessa_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, _t(10, 0), 1),  # exactly at start → included
+            (1, _t(12, 0), 2),  # exactly at end → excluded
+            (1, _t(11, 30), 3),  # inside, crosses a bucket boundary
+            (1, _t(9, 59), 4),  # before → excluded
+            (2, _t(10, 30), 5),  # other key, no intervals
+        ],
+        "k long, ts timestamp, id long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _t(10, 0), _t(12, 0), 77)],
+        "k long, start_ts timestamp, end_ts timestamp, iid long",
+    )
+    got = {
+        (r["id"], r["iid"])
+        for r in interval_join(
+            points, intervals, on=["k"], bucket_seconds=3600
+        ).collect()
+    }
+    assert got == {(1, 77), (3, 77)}
+
+
+def test_interval_join_matches_naive_and_no_dups(spark):
+    import random
+
+    from contessa_spark.operators.temporal import interval_join
+
+    rng = random.Random(9)
+    pts = [
+        (rng.randrange(5), _t(rng.randrange(6, 22), rng.randrange(60)), i)
+        for i in range(200)
+    ]
+    ivs = []
+    for j in range(40):
+        s = _t(rng.randrange(6, 20), rng.randrange(60))
+        e = s + datetime.timedelta(minutes=rng.randrange(10, 300))
+        ivs.append((rng.randrange(5), s, e, j))
+    points = spark.createDataFrame(pts, "k long, ts timestamp, id long")
+    intervals = spark.createDataFrame(
+        ivs, "k long, start_ts timestamp, end_ts timestamp, iid long"
+    )
+    out = interval_join(
+        points, intervals, on=["k"], bucket_seconds=1800
+    ).collect()
+    got = sorted((r["id"], r["iid"]) for r in out)
+    want = sorted(
+        (i, j)
+        for k, ts, i in pts
+        for ik, s, e, j in ivs
+        if ik == k and s <= ts < e
+    )
+    assert got == want  # equality also proves no duplicate matches
+    assert want, "test must produce matches"
+
+
+def test_interval_join_guard_and_plan(spark):
+    import pytest as _pytest
+
+    from contessa_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, _t(10), 1)], "k long, ts timestamp, id long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, _t(6), _t(20), 9)],
+        "k long, start_ts timestamp, end_ts timestamp, iid long",
+    )
+    out = interval_join(
+        points, intervals, on=["k"], bucket_seconds=3600,
+        max_interval_buckets=3,
+    )
+    with _pytest.raises(Exception, match="interval_join: an interval spans"):
+        out.collect()
+    # the scale shape: equi-join, never a nested-loop/cartesian product
+    ok = interval_join(points, intervals, on=["k"], bucket_seconds=3600)
+    plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with _pytest.raises(ValueError):
+        interval_join(points, intervals, on=[])
+    with _pytest.raises(ValueError):
+        interval_join(points, intervals, on=["k"], bucket_seconds=0)
