@@ -866,6 +866,32 @@ def _split_assign_oracle() -> str:
     )
 
 
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-n-per-stratum deterministic sampling (the eval-set
+    # primitive): 20 docs per language, chosen by md5 hash rank with
+    # doc_id ties — same rows on every run/engine/partitioning; the
+    # oracle shares the hash and the window verbatim
+    from contessa_spark.operators.sampling import stratified_fixed_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_fixed_sample(
+        docs, 20, key_cols=["doc_id"], strata_cols=["lang"], salt="r6fx"
+    )
+
+
+def _stratified_sample_oracle() -> str:
+    from contessa_spark.operators.sampling import stratified_fixed_sample_sql
+
+    return stratified_fixed_sample_sql(
+        20,
+        key_cols=["doc_id"],
+        strata_cols=["lang"],
+        salt="r6fx",
+        table="documents",
+        select_cols="doc_id, lang",
+    )
+
+
 def _doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DoReMi/Pile-style mixture construction: resample so the lang
     # distribution matches MIX_WEIGHTS in expectation, keeping maximal
@@ -1560,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup_dropall": _doc_substring_dedup_dropall,
         "top_suppliers_per_nation": _top_suppliers_per_nation,
         "doc_split_assign": _doc_split_assign,
+        "doc_stratified_sample": _doc_stratified_sample,
         "media_audio_dups": _media_audio_dups,
         "events_asof_snapshot": _events_asof_snapshot,
         "events_interval_join": _events_interval_join,
@@ -2159,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "rule_drift_events": _rule_drift_oracle(),
         "doc_hybrid_rrf": _hybrid_rrf_oracle(),
         "doc_split_assign": _split_assign_oracle(),
+        "doc_stratified_sample": _stratified_sample_oracle(),
         "media_audio_dups": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming "
             "FROM documents a JOIN documents b "

@@ -259,3 +259,70 @@ def split_assign_sql_case(
         f"WHEN {h} < '{bound}' THEN '{name}'" for name, bound in ranges[:-1]
     )
     return f"CASE {whens} ELSE '{ranges[-1][0]}' END"
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    key_cols: List[str],
+    strata_cols: List[str],
+    salt: str = "fx0",
+) -> DataFrame:
+    """EXACTLY ``min(n, |stratum|)`` rows per stratum, chosen
+    deterministically — the eval-set construction primitive ("500
+    documents per language, same 500 every run and engine").
+
+    The selection order is the md5 sampling hash (uniform, salt-keyed,
+    shared verbatim with the SQL oracle), tie-broken by the key
+    columns, so the sample is reproducible across runs, engines, and
+    partitionings, and re-salting draws an independent sample.
+    Implemented as rank-within-stratum over the hash; output adds the
+    6-hex ``__sample_hash`` and the 1-based ``rank`` (callers drop
+    them or keep them as lineage).
+
+    Scale note: rank-per-stratum is a per-stratum ordered window —
+    fine for the many-strata/handful-of-rows-each shapes eval sets
+    have. For a FEW huge strata at 10^12 rows, the fractional
+    :func:`hash_sample` (zero shuffle) is the right tool; this
+    operator is for when exact counts matter more than shuffle
+    freedom.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError("stratified_fixed_sample: n_per_stratum must be > 0")
+    if not strata_cols:
+        raise ValueError("stratified_fixed_sample: need strata_cols")
+    from contessa_spark.operators.windows import top_k_per_group
+
+    with_hash = df.withColumn(
+        "__sample_hash", sample_hash_col(key_cols, salt)
+    )
+    return top_k_per_group(
+        with_hash,
+        strata_cols,
+        "__sample_hash",
+        k=int(n_per_stratum),
+        tiebreak_cols=key_cols,
+        descending=False,
+    )
+
+
+def stratified_fixed_sample_sql(
+    n_per_stratum: int,
+    key_cols: List[str],
+    strata_cols: List[str],
+    salt: str = "fx0",
+    table: str = "documents",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`stratified_fixed_sample` (same hash,
+    same ordering, same rank semantics)."""
+    keys = ", ".join(key_cols)
+    strata = ", ".join(strata_cols)
+    h = f"substring(md5(concat_ws('|', '{salt}', {keys})), 1, 6)"
+    order = ", ".join([f"__sample_hash ASC"] + [f"{c} ASC" for c in key_cols])
+    return (
+        f"WITH h AS (SELECT {select_cols}, {h} AS __sample_hash FROM {table}), "
+        "r AS (SELECT *, row_number() OVER ("
+        f" PARTITION BY {strata} ORDER BY {order})::INT AS rank FROM h) "
+        f"SELECT * FROM r WHERE rank <= {int(n_per_stratum)}"
+    )

@@ -234,3 +234,46 @@ def test_split_assign_validation(spark):
         split_assign(df, [("a", 0.6), ("b", 0.6)], key_cols=["doc_id"])
     with pytest.raises(ValueError):
         split_assign(df, [("a", 1.2), ("b", -0.2)], key_cols=["doc_id"])
+
+
+# ------------------------------------------- stratified_fixed_sample
+
+def test_stratified_fixed_sample_exact_counts(spark):
+    from contessa_spark.operators.sampling import stratified_fixed_sample
+
+    rows = [(i, "big" if i < 930 else "small") for i in range(950)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_fixed_sample(
+        df, 30, key_cols=["doc_id"], strata_cols=["lang"]
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # exactly n from the big stratum, the whole small stratum (< n)
+    assert len(by_lang["big"]) == 30
+    assert len(by_lang["small"]) == 20
+    assert {r["rank"] for r in out if r["lang"] == "big"} == set(range(1, 31))
+    # deterministic + partition-invariant
+    out2 = stratified_fixed_sample(
+        df.repartition(7), 30, key_cols=["doc_id"], strata_cols=["lang"]
+    ).collect()
+    assert sorted(r["doc_id"] for r in out2) == sorted(
+        r["doc_id"] for r in out
+    )
+    # a different salt draws a (near-certainly) different sample
+    out3 = stratified_fixed_sample(
+        df, 30, key_cols=["doc_id"], strata_cols=["lang"], salt="other"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out3) != sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_stratified_fixed_sample_validation(spark):
+    from contessa_spark.operators.sampling import stratified_fixed_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        stratified_fixed_sample(df, 0, key_cols=["doc_id"], strata_cols=["lang"])
+    with pytest.raises(ValueError):
+        stratified_fixed_sample(df, 5, key_cols=["doc_id"], strata_cols=[])
