@@ -344,25 +344,45 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: Optional[int] = None,
     observation=None,
+    block_docs: int = 4096,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle sets for every pair
     sharing ≥1 shingle.
 
-    Plan: shingle inverted index (explode) → self-join on shingle
-    (co-partitioned shuffle join, NOT a cross join) → count common
-    shingles per pair → |A∪B| = |A|+|B|−common. Pairs with no shared
-    shingle never materialize, so cost tracks true near-dup density.
-    The postings carry FNV-64 shingle HASHES (``hashed_shingles_udf``)
-    — half the shuffle bytes of gram strings, value-identical output
-    up to ~2⁻⁶⁴ within-pair collisions.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Two physical strategies, same output:
 
-    ``max_df`` (recommended at scale, e.g. 500) drops posting lists
-    longer than that before pair emission — see ``_cap_groups``. With a
-    cap, pairs whose overlap includes a dropped hot shingle undercount
-    ``common`` by the number of dropped shared shingles (recall-only
-    loss; the reported jaccard of surviving pairs is a lower bound).
+    * **uncapped** (``max_df=None``): block-pair local intersection
+      counting. Docs are hashed into B blocks (B scale-adaptive from
+      the corpus size, ≤ ``block_docs`` docs per block); each doc's
+      hashed shingle set is replicated to its B block-pairs and every
+      unordered doc pair is counted in exactly ONE block-pair task with
+      vectorized numpy (sort → run-length pair emission → unique-sum).
+      Sub-threshold pairs never leave Python: there is NO per-pair
+      shuffle and no JVM hash aggregate over the O(Σ df²) coincidence
+      rows — on a fixed-vocabulary corpus that aggregate dominates the
+      old inverted-index plan and grows quadratically with corpus size,
+      while this plan shuffles only B× the (hashed, ~40 B/doc)
+      signature table. The per-pair *counting* work is the same
+      O(Σ df²) either way — inherent to exact all-pairs — but runs at
+      numpy memory bandwidth instead of one shuffled row per
+      coincidence.
+    * **capped** (``max_df`` set — recommended at scale, e.g. 500):
+      the shingle inverted index (explode → group by shingle → capped
+      pair emission), because the cap semantics are defined on posting
+      lists: lists longer than ``max_df`` are DROPPED before pair
+      emission — see ``_cap_groups``. With a cap, pairs whose overlap
+      includes a dropped hot shingle undercount ``common`` (recall-only
+      loss; the reported jaccard of surviving pairs is a lower bound).
+
+    Both paths carry FNV-64 shingle HASHES (``hashed_shingles_udf``) —
+    value-identical output up to ~2⁻⁶⁴ within-pair collisions — and
+    both compute the final jaccard/round in the same Spark expressions.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
+    if max_df is None:
+        return _ngram_jaccard_pairs_blocked(
+            df, id_col, text_col, k, threshold, block_docs
+        )
     import pandas as pd
 
     sh = df.select(
@@ -457,6 +477,197 @@ def ngram_jaccard_pairs(
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 23):
+    """applyInPandas kernel for one block-pair: count |A∩B| for every
+    doc pair sharing ≥1 shingle hash, threshold locally, emit only
+    passing pairs as (id_a, id_b, common, na, nb).
+
+    All vectorized: concat the block's hash arrays → one stable argsort
+    → equal-hash runs → pair (x, y) for every in-run position pair
+    x < y (generated arithmetically from run offsets, ``chunk_pairs``
+    positions at a time so a degenerate clone-cluster block can't
+    materialize O(m²·s) pairs at once) → unique-sum on the (u·m+v)
+    pair key. Off-diagonal block-pairs keep only cross-side pairs
+    (same-side pairs belong to that block's own diagonal task).
+
+    The threshold prefilter uses the same float64 division Spark
+    applies downstream, so the pass/fail set is bit-identical; the
+    emitted integers let Spark recompute jaccard with the exact
+    expression (and rounding) the inverted-index path uses.
+    """
+
+    def emit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def _empty():
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "common": pd.Series([], dtype="int64"),
+                    "na": pd.Series([], dtype="int32"),
+                    "nb": pd.Series([], dtype="int32"),
+                }
+            )
+
+        m = len(pdf)
+        if m < 2:
+            return _empty()
+        diag = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        ns = pdf["_n"].to_numpy(dtype=np.int64)
+        side = pdf["_side"].to_numpy(dtype=np.int8)
+        hs = [np.asarray(a, dtype=np.int64) for a in pdf["_sh"]]
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=m)
+        if int(lens.sum()) == 0:
+            return _empty()
+        hcat = np.concatenate(hs)
+        dcat = np.repeat(np.arange(m, dtype=np.int64), lens)
+        if diag:
+            order = np.argsort(hcat, kind="stable")
+        else:
+            # within each run: side-0 elements first, then side-1 —
+            # lets L below emit ONLY cross-side pairs (no same-side
+            # waste; same-side pairs belong to the diagonal tasks)
+            order = np.lexsort((side[dcat], hcat))
+        hsorted = hcat[order]
+        dsorted = dcat[order]  # ascending row idx within each run
+        N = len(hsorted)
+        newrun = np.empty(N, dtype=bool)
+        newrun[0] = True
+        np.not_equal(hsorted[1:], hsorted[:-1], out=newrun[1:])
+        # start position of each element's run; L = how many earlier
+        # in-run elements each position pairs with
+        run_start = np.flatnonzero(newrun)
+        start_pos = run_start[np.cumsum(newrun) - 1]
+        if diag:
+            L = np.arange(N, dtype=np.int64) - start_pos
+        else:
+            # side-1 positions pair with every side-0 element of their
+            # run (all earlier by the lexsort); side-0 positions emit 0
+            s1 = side[dsorted]
+            cz = np.concatenate(([0], np.cumsum(s1 == 0, dtype=np.int64)))
+            run_len = np.diff(np.append(run_start, N))
+            n0_per_run = cz[run_start + run_len] - cz[run_start]
+            L = np.where(s1 == 1, n0_per_run[np.cumsum(newrun) - 1], 0)
+        csum = np.concatenate(([0], np.cumsum(L)))
+        if int(csum[-1]) == 0:
+            return _empty()
+        agg_k = agg_c = None
+        pos = 0
+        while pos < N:
+            end = int(np.searchsorted(csum, csum[pos] + chunk_pairs, "right")) - 1
+            end = max(end, pos + 1)
+            Ls = L[pos:end]
+            tot = int(csum[end] - csum[pos])
+            pos_prev, pos = pos, end
+            if tot == 0:
+                continue
+            # pair every position p in [pos_prev, end) with the L[p]
+            # earlier positions of its run
+            y = np.repeat(np.arange(pos_prev, end, dtype=np.int64), Ls)
+            base = csum[pos_prev:end] - csum[pos_prev]
+            x = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(base, Ls)
+                + np.repeat(start_pos[pos_prev:end], Ls)
+            )
+            key = dsorted[x] * m + dsorted[y]  # u < v by in-run order
+            k, c = np.unique(key, return_counts=True)
+            if agg_k is None:
+                agg_k, agg_c = k, c
+            else:
+                allk = np.concatenate((agg_k, k))
+                allc = np.concatenate((agg_c, c))
+                o = np.argsort(allk, kind="stable")
+                allk, allc = allk[o], allc[o]
+                nr = np.empty(len(allk), dtype=bool)
+                nr[0] = True
+                np.not_equal(allk[1:], allk[:-1], out=nr[1:])
+                idx = np.flatnonzero(nr)
+                agg_k = allk[idx]
+                agg_c = np.add.reduceat(allc, idx)
+        u = agg_k // m
+        v = agg_k % m
+        c = agg_c
+        if len(u):
+            na = ns[u]
+            nb = ns[v]
+            keep = c / (na + nb - c) >= threshold
+            u, v, c, na, nb = u[keep], v[keep], c[keep], na[keep], nb[keep]
+        if len(u) == 0:
+            return _empty()
+        ia = ids[u]
+        ib = ids[v]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "common": c.astype(np.int64),
+                "na": na.astype(np.int32),
+                "nb": nb.astype(np.int32),
+            }
+        )
+
+    return emit
+
+
+def _ngram_jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    block_docs: int,
+) -> DataFrame:
+    """Uncapped exact-Jaccard pairs via block-pair local counting (see
+    ``ngram_jaccard_pairs``). B is derived from the corpus size (one
+    cheap column-pruned count) so blocks stay ≤ ``block_docs`` docs,
+    with a parallelism floor of ~√(2·defaultParallelism) blocks
+    (≈ 2× cores worth of block-pair tasks) — scale-adaptive, never a
+    constant tuned to one cluster size."""
+    import math
+
+    sc = df.sparkSession.sparkContext
+    n_docs = df.select(id_col).count()
+    b_par = math.ceil(math.sqrt(2 * sc.defaultParallelism))
+    B = min(
+        max(math.ceil(n_docs / block_docs), b_par),
+        max(1, n_docs // 64 + 1),
+    )
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        hashed_shingles_udf(k)(F.col(text_col)).alias("_sh"),
+    ).select("_id", "_sh", F.size("_sh").alias("_n"))
+    # each doc participates in exactly B block-pairs: (blk, j) as the
+    # lower side for j ≥ blk, (j, blk) as the upper side for j < blk
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int")
+    targets = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda j: F.struct(
+            F.least(F.col("_blk"), j).alias("_bi"),
+            F.greatest(F.col("_blk"), j).alias("_bj"),
+            F.when(F.col("_blk") <= j, F.lit(0)).otherwise(F.lit(1)).alias("_side"),
+        ),
+    )
+    rep = (
+        sigs.withColumn("_blk", blk)
+        .select("_id", "_sh", "_n", F.explode(targets).alias("_p"))
+        .select("_id", "_sh", "_n", "_p.*")
+    )
+    cand = rep.groupBy("_bi", "_bj").applyInPandas(
+        _make_block_pair_emitter(threshold),
+        schema="id_a long, id_b long, common long, na int, nb int",
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
