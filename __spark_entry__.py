@@ -1036,8 +1036,12 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified), ~50× faster on all-pairs workloads
     from contessa_spark.operators.dedup import embedding_near_dups_blocked
 
+    # block_size 2048 (r7): replication shuffle is B× the vector table
+    # (B = n/block), so 4× bigger blocks cut the replicated bytes 4×;
+    # verified bit-identical to the 512-block output at sf1.0 (the
+    # BLAS dot accumulates along k in a shape-independent order)
     return embedding_near_dups_blocked(
-        _load(spark, sf_dir, "embeddings"), threshold=0.45, block_size=512
+        _load(spark, sf_dir, "embeddings"), threshold=0.45, block_size=2048
     )
 
 

@@ -165,34 +165,63 @@ class ConsistencyChecker:
         return AggregatedResult(total_records=max(l, r), failed=failed, passed=passed)
 
     @staticmethod
+    def _tag_presence(left: DataFrame, right: DataFrame) -> DataFrame:
+        """ONE-pass core of the DIFF method: union both sides with
+        presence flags and group by every column. Replaces the
+        three-subtree INTERSECT + 2×EXCEPT form, which scanned EACH
+        input three times with a distinct-aggregate shuffle per set op;
+        this scans each side once and shuffles once (with map-side
+        partial aggregation collapsing duplicates first). Python-set
+        semantics preserved: groupBy treats NULL keys as equal exactly
+        like INTERSECT/EXCEPT's null-safe comparison, and max(flag)
+        gives distinct-set membership. The right side is renamed to the
+        left's column names POSITIONALLY, mirroring INTERSECT's
+        positional schema alignment."""
+        cols = left.columns
+        u = left.select(
+            *cols, F.lit(1).alias("_in_l"), F.lit(0).alias("_in_r")
+        ).unionByName(
+            right.toDF(*cols).select(
+                *cols, F.lit(0).alias("_in_l"), F.lit(1).alias("_in_r")
+            )
+        )
+        return u.groupBy(*cols).agg(
+            F.max("_in_l").alias("_l"), F.max("_in_r").alias("_r")
+        )
+
+    @staticmethod
     def _compare_diff(
         left: DataFrame, right: DataFrame, collect_examples: int
     ) -> AggregatedResult:
-        # Python-set semantics ⇒ distinct set ops. intersect/subtract are
-        # Spark's SQL INTERSECT/EXCEPT (distinct); all three counters
-        # come back in ONE job (single-row cross join of the aggregates)
-        # instead of one job per count. The symmetric difference is
-        # cached so the optional examples collect is a cache read, not a
-        # recompute of both EXCEPTs.
-        sym = left.subtract(right).unionByName(right.subtract(left))
+        # Python-set semantics ⇒ distinct set ops, computed in ONE scan
+        # of each side (_tag_presence) and ONE counting job. The tagged
+        # frame is cached so the optional examples collect is a cache
+        # read, not a recompute of both scans.
+        g = ConsistencyChecker._tag_presence(left, right)
         if collect_examples:
-            sym = sym.persist()
+            g = g.persist()
         try:
-            row = (
-                left.intersect(right)
-                .agg(F.count(F.lit(1)).alias("passed"))
-                .crossJoin(sym.agg(F.count(F.lit(1)).alias("failed")))
-                .collect()[0]
-            )
+            row = g.agg(
+                F.count(F.when(F.col("_l") + F.col("_r") == 2, 1)).alias(
+                    "passed"
+                ),
+                F.count(F.when(F.col("_l") + F.col("_r") == 1, 1)).alias(
+                    "failed"
+                ),
+            ).collect()[0]
             passed, failed = row["passed"], row["failed"]
             examples = []
             if collect_examples and failed:
                 examples = [
-                    tuple(r) for r in sym.limit(collect_examples).collect()
+                    tuple(r)
+                    for r in g.where(F.col("_l") + F.col("_r") == 1)
+                    .select(*left.columns)
+                    .limit(collect_examples)
+                    .collect()
                 ]
         finally:
             if collect_examples:
-                sym.unpersist()
+                g.unpersist()
         return AggregatedResult(
             total_records=passed + failed,
             failed=failed,
@@ -222,11 +251,20 @@ class ConsistencyChecker:
     @staticmethod
     def diff_compare_df(left: DataFrame, right: DataFrame) -> DataFrame:
         """One-row DataFrame with the DIFF-method comparison (set
-        semantics): passed=|L∩R|, failed=|L△R|, total=sum, status."""
-        common = left.intersect(right).agg(F.count(F.lit(1)).alias("passed"))
-        only_l = left.subtract(right).agg(F.count(F.lit(1)).alias("fl"))
-        only_r = right.subtract(left).agg(F.count(F.lit(1)).alias("fr"))
-        row = common.crossJoin(only_l).crossJoin(only_r)
+        semantics): passed=|L∩R|, failed=|L△R|, total=sum, status.
+        All three counters come from the single-shuffle presence-tag
+        aggregation (``_tag_presence``) instead of three independent
+        INTERSECT/EXCEPT subtrees — each input is scanned once."""
+        g = ConsistencyChecker._tag_presence(left, right)
+        row = g.agg(
+            F.count(F.when(F.col("_l") + F.col("_r") == 2, 1)).alias("passed"),
+            F.count(F.when((F.col("_l") == 1) & (F.col("_r") == 0), 1)).alias(
+                "fl"
+            ),
+            F.count(F.when((F.col("_l") == 0) & (F.col("_r") == 1), 1)).alias(
+                "fr"
+            ),
+        )
         return row.select(
             (F.col("passed") + F.col("fl") + F.col("fr")).alias("total_records"),
             (F.col("fl") + F.col("fr")).alias("failed"),

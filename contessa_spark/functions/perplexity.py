@@ -102,6 +102,38 @@ def perplexity_tokens(toks: List[str]) -> float:
     return float(np.exp(-lp.mean()))
 
 
+def perplexity_flat(hs_flat, offsets, lens):
+    """Batch core over pre-hashed tokens: per-doc perplexities from ONE
+    flat hash array (docs concatenated; ``offsets[i]``/``lens[i]``
+    delimit doc i). Bit-identical to calling ``perplexity_tokens`` per
+    doc: every elementwise op runs on the same values, cross-doc bigram
+    positions are excluded by the slice bounds (doc i's bigram
+    log-probs are ``lp[o : o+n-1]``), and each doc's ``.mean()`` runs
+    over the same contiguous float64 slice (numpy pairwise summation is
+    a function of the slice alone). Eliminates the per-word Python of
+    the one-doc-at-a-time form — the fused annotate UDF's old hotspot."""
+    n_docs = len(lens)
+    out = np.empty(n_docs, dtype=np.float64)
+    uni_lp = _LOG_P_UNI[hs_flat & _MASK_UNI]
+    if len(hs_flat) >= 2:
+        bi_idx = (hs_flat[:-1] * 1000003 + hs_flat[1:]) & _MASK_BI
+        p = _LAMBDA * (_BI[bi_idx] / (_UNI[hs_flat[:-1] & _MASK_UNI] + 1.0)) + (
+            1.0 - _LAMBDA
+        ) * np.exp(uni_lp[1:])
+        lp = np.log(np.maximum(p, 1e-12))
+    for i in range(n_docs):
+        o = offsets[i]
+        n = lens[i]
+        if n == 0:
+            out[i] = 1.0e6
+        elif n == 1:
+            # mean of the 1-element slice == the element
+            out[i] = np.exp(-uni_lp[o])
+        else:
+            out[i] = np.exp(-lp[o : o + n - 1].mean())
+    return out
+
+
 def perplexity_batch(texts) -> List[float]:
     return [perplexity(t if isinstance(t, str) else "") for t in texts]
 

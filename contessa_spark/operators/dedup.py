@@ -1272,13 +1272,27 @@ def embedding_near_dups_blocked(
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_blk", (F.col("_id") / block_size).cast("long"))
 
-    # ONE row per block: (block_id, ids[], vectors[][]) — the pair join
-    # is then B×B tiny block rows, never row-level pairs
+    # ONE row per block, FLAT layout: (block_id, ids[], flat vectors[])
+    # — a flat array<double> crosses Arrow as one contiguous buffer and
+    # reshapes zero-copy in numpy, where the old list-of-struct rows
+    # cost a per-element Python conversion on every one of the B
+    # replicas of each block (guide §4.2: re-slice buffers, don't copy
+    # rows). Both collect_lists aggregate rows in the same order within
+    # the one aggregate execution, so ids and vectors stay aligned.
     blocks = base.groupBy("_blk").agg(
-        F.collect_list(F.struct("_id", "_v")).alias("_rows")
+        F.collect_list("_id").alias("_ids"),
+        F.flatten(F.collect_list("_v")).alias("_vs"),
     )
-    a = blocks.select(F.col("_blk").alias("blk_a"), F.col("_rows").alias("rows_a"))
-    b = blocks.select(F.col("_blk").alias("blk_b"), F.col("_rows").alias("rows_b"))
+    a = blocks.select(
+        F.col("_blk").alias("blk_a"),
+        F.col("_ids").alias("ids_a"),
+        F.col("_vs").alias("vs_a"),
+    )
+    b = blocks.select(
+        F.col("_blk").alias("blk_b"),
+        F.col("_ids").alias("ids_b"),
+        F.col("_vs").alias("vs_b"),
+    )
     pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
 
     def block_sim(batches):
@@ -1286,11 +1300,13 @@ def embedding_near_dups_blocked(
 
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
-                ids_a = np.array([r["_id"] for r in rows_a])
-                ids_b = np.array([r["_id"] for r in rows_b])
-                A = np.array([r["_v"] for r in rows_a])
-                B = np.array([r["_v"] for r in rows_b])
+            for ids_a, ids_b, vs_a, vs_b in zip(
+                pdf["ids_a"], pdf["ids_b"], pdf["vs_a"], pdf["vs_b"]
+            ):
+                ids_a = np.asarray(ids_a, dtype=np.int64)
+                ids_b = np.asarray(ids_b, dtype=np.int64)
+                A = np.asarray(vs_a, dtype=np.float64).reshape(len(ids_a), -1)
+                B = np.asarray(vs_b, dtype=np.float64).reshape(len(ids_b), -1)
                 A = A / np.linalg.norm(A, axis=1, keepdims=True)
                 B = B / np.linalg.norm(B, axis=1, keepdims=True)
                 S = A @ B.T
@@ -1302,7 +1318,7 @@ def embedding_near_dups_blocked(
                 out_c.extend(np.round(S[ia, ib][keep], 6))
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
-    return pairs.select("rows_a", "rows_b").mapInPandas(
+    return pairs.select("ids_a", "ids_b", "vs_a", "vs_b").mapInPandas(
         block_sim, schema="id_a long, id_b long, cosine double"
     )
 
