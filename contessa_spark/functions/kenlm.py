@@ -135,17 +135,21 @@ def all_order_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= F.lit(min_count))
     )
-    out: List[Dict[Tuple[str, ...], int]] = []
-    for k in range(1, order + 1):
-        rows = (
-            counted.where(F.col("k") == F.lit(k))
-            .orderBy(F.desc("n"), F.asc("gram"))
-            .limit(max_grams)
-            .collect()
-        )
-        out.append(
-            {tuple(r["gram"].split(" ")): int(r["n"]) for r in rows}
-        )
+    # ONE collect for every order: the per-order cap is a rank window
+    # over the same (n desc, gram asc) total order the per-order
+    # orderBy+limit used — identical contents, but one Spark job
+    # instead of `order` filtered re-sorts of the counted frame
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("n"), F.asc("gram"))
+    rows = (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(max_grams))
+        .collect()
+    )
+    out: List[Dict[Tuple[str, ...], int]] = [{} for _ in range(order)]
+    for r in rows:
+        out[int(r["k"]) - 1][tuple(r["gram"].split(" "))] = int(r["n"])
     return out
 
 
@@ -376,6 +380,17 @@ def kn_perplexity(
 def save_model(spark, model: KNModel, path: str) -> None:
     """Persist as parquet (table, key, value) — same pin-the-artifact
     contract as `bpe.save_merges` / `unigram.save_vocab`."""
+    # "\x00" is the gram-component separator below; a token containing
+    # it would round-trip into a wrong-arity key and silently mis-score
+    # after load — refuse at save time (whitespace tokenization permits
+    # NUL bytes inside tokens)
+    for tbl in (model.p1, model.t2, model.l2, model.t3, model.l3):
+        for k in tbl:
+            parts = (k,) if isinstance(k, str) else k
+            if any("\x00" in p for p in parts):
+                raise ValueError(
+                    "save_model: token contains the \\x00 key separator"
+                )
     rows = [("meta", "order", float(model.order)),
             ("meta", "V", float(model.V)),
             ("meta", "p1_floor", model.p1_floor)]

@@ -482,7 +482,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 23):
+def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 21):
     """applyInPandas kernel for one block-pair: count |A∩B| for every
     doc pair sharing ≥1 shingle hash, threshold locally, emit only
     passing pairs as (id_a, id_b, common, na, nb).
@@ -527,8 +527,12 @@ def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 23):
         lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=m)
         if int(lens.sum()) == 0:
             return _empty()
+        # int32 positions/keys where m² < 2³¹ (always at the default
+        # block_docs): halves the transient chunk arrays, which set the
+        # worker's peak RSS
+        dt = np.int32 if m <= 46340 else np.int64
         hcat = np.concatenate(hs)
-        dcat = np.repeat(np.arange(m, dtype=np.int64), lens)
+        dcat = np.repeat(np.arange(m, dtype=dt), lens)
         if diag:
             order = np.argsort(hcat, kind="stable")
         else:
@@ -571,12 +575,12 @@ def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 23):
                 continue
             # pair every position p in [pos_prev, end) with the L[p]
             # earlier positions of its run
-            y = np.repeat(np.arange(pos_prev, end, dtype=np.int64), Ls)
-            base = csum[pos_prev:end] - csum[pos_prev]
+            y = np.repeat(np.arange(pos_prev, end, dtype=np.int32), Ls)
+            base = (csum[pos_prev:end] - csum[pos_prev]).astype(np.int32)
             x = (
-                np.arange(tot, dtype=np.int64)
+                np.arange(tot, dtype=np.int32)
                 - np.repeat(base, Ls)
-                + np.repeat(start_pos[pos_prev:end], Ls)
+                + np.repeat(start_pos[pos_prev:end].astype(np.int32), Ls)
             )
             key = dsorted[x] * m + dsorted[y]  # u < v by in-run order
             k, c = np.unique(key, return_counts=True)

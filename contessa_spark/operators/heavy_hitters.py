@@ -128,7 +128,15 @@ def misra_gries_topk(
     # part_dec repeats on every row a partition emits for the group, so
     # sum(DISTINCT) is unsafe (two partitions can share a value); tag
     # each source partition instead.
-    partials = partials.withColumn("pid", F.spark_partition_id())
+    #
+    # localCheckpoint (lazy): per_part_dec and counted both consume the
+    # sketch pass below — without it the full input scan + MG summarize
+    # runs TWICE, and the pid/part_dec pairing would silently rely on
+    # deterministic re-scan partitioning. The materialized partials are
+    # O(1/ε) rows per partition per group — bounded at any scale.
+    partials = partials.withColumn(
+        "pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     per_part_dec = (
         partials.groupBy(*gc, "pid")
         .agg(F.max("part_dec").alias("d"))

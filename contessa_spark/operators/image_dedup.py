@@ -195,7 +195,15 @@ def hamming_near_dups(
             "hamming_near_dups: need hash_bits >= max_hamming + 1 bands"
         )
     width = hash_bits // n_bands
-    h = hashes.select(id_col, hash_col).where(F.col(hash_col).isNotNull())
+    # localCheckpoint (lazy): the banded frame feeds the bucket-count
+    # subtree AND the pair join (which itself reads it twice as a/b) —
+    # without it an upstream decode/hash UDF in `hashes` re-runs once
+    # per consumer. Narrow (id, 64-bit hash) rows — tiny at any scale.
+    h = (
+        hashes.select(id_col, hash_col)
+        .where(F.col(hash_col).isNotNull())
+        .localCheckpoint(eager=False)
+    )
     bands = []
     for i in range(n_bands):
         off = i * width

@@ -165,11 +165,21 @@ def _decode_gif(payload: bytes) -> dict:
         if idx is None or len(idx) < n_pixels:
             return out
         idx = idx[:n_pixels]            # defensive: some encoders over-emit
-        if max(idx) * 3 + 2 >= len(ct):
+        # vectorized palette gather (the r6 per-pixel loop made a big
+        # frame the slowest per-byte stage): per-entry RGB sums once,
+        # then one uint8 gather + int64 sum — same integer total
+        import numpy as np
+
+        ia = np.frombuffer(idx, dtype=np.uint8)
+        if int(ia.max()) * 3 + 2 >= len(ct):
             return out                  # index beyond the color table
-        total = 0
-        for i in idx:
-            total += ct[3 * i] + ct[3 * i + 1] + ct[3 * i + 2]
+        cta = np.frombuffer(ct, dtype=np.uint8)
+        entry_sums = (
+            cta[: (len(cta) // 3) * 3]
+            .reshape(-1, 3)
+            .sum(axis=1, dtype=np.int64)
+        )
+        total = int(entry_sums[ia].sum(dtype=np.int64))
         out["mean_byte"] = total // (3 * n_pixels)
     except (IndexError, struct.error):
         return out
@@ -275,9 +285,14 @@ def _decode_webp(payload: bytes) -> dict:
             try:
                 from contessa_spark.operators.vp8l import vp8l_mean_rgb
 
-                out["mean_byte"] = vp8l_mean_rgb(
-                    body, max_pixels=MAX_PNG_RAW_BYTES // 4
-                )
+                # CPU budget, not just memory: the VP8L prefix/LZ77 and
+                # predictor stages are serial per-pixel Python (the
+                # separable transforms are numpy), so a max-size
+                # lossless frame could pin an executor core for minutes
+                # inside the stats UDF. 1M pixels (~seconds worst case)
+                # degrades to dims-only past the budget, matching the
+                # bomb-guard convention of the other decoders.
+                out["mean_byte"] = vp8l_mean_rgb(body, max_pixels=1 << 20)
             except ValueError:
                 pass  # malformed pixel stream: dims-only, still ok
             return out

@@ -79,6 +79,22 @@ def bm25_topk(
     tot = doclen.agg(
         F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
     ).collect()[0]
+    if int(tot["n_docs"]) == 0:
+        # empty corpus: return an empty result like sibling operators
+        # instead of dividing by the zero doc count below
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.StringType()),
+                    T.StructField("doc_id", docs.schema[id_col].dataType),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     n_docs, avgdl = int(tot["n_docs"]), float(tot["sum_dl"]) / int(tot["n_docs"])
 
     # prune to query terms BEFORE the per-(doc, term) shuffle

@@ -64,12 +64,25 @@ def asof_join(
     if clash:
         raise ValueError(f"asof_join: value columns clash with left: {clash}")
 
+    from pyspark.sql import types as T
+
     left_cols = left.columns
+    # ONE struct carries the right ts plus every value column, and is
+    # non-null exactly when the row IS a right row: a single
+    # last(ignorenulls) then carries the whole snapshot atomically. The
+    # earlier per-column last(__r_<col>, ignorenulls) skipped right
+    # rows whose value was NULL — returning an OLDER row's value while
+    # asof_ts pointed at the newer row (diverging from pandas
+    # merge_asof / DuckDB ASOF semantics whenever right values contain
+    # NULLs).
+    r_struct_type = T.StructType(
+        [T.StructField("__ts", T.TimestampType())]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
         F.lit(0).alias("__is_right"),
-        F.lit(None).cast("timestamp").alias("__r_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *[F.col(c) for c in on],
@@ -79,9 +92,11 @@ def asof_join(
             if c not in on
         ],
         F.lit(1).alias("__is_right"),
-        F.col(right_ts_col).cast("timestamp").alias("__r_ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-    ).withColumn(ts_col, F.col("__r_ts"))
+        F.struct(
+            F.col(right_ts_col).cast("timestamp").alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__r"),
+    ).withColumn(ts_col, F.col("__r.__ts"))
     unioned = l_tagged.unionByName(r_tagged)
 
     # right rows first at equal ts → inclusive at-or-before semantics
@@ -93,14 +108,12 @@ def asof_join(
     carried = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("__is_right"),
-        F.last("__r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     return carried.where(F.col("__is_right") == 0).select(
-        *left_cols, "asof_ts", *value_cols
+        *left_cols,
+        F.col("__r.__ts").alias("asof_ts"),
+        *[F.col(f"__r.{c}").alias(c) for c in value_cols],
     )
 
 

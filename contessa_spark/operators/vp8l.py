@@ -384,49 +384,70 @@ def _ct_delta(t: int, c: int) -> int:
     return (t * c) >> 5
 
 
+def _signed8(a):
+    """Vectorized int8 reinterpretation of 0..255 values (int32 out)."""
+    import numpy as np
+
+    return np.where(a >= 128, a.astype(np.int32) - 256, a.astype(np.int32))
+
+
 def _inv_color_transform(
     pix: List[int], w: int, h: int, bits: int, tiles: List[int]
 ) -> None:
+    # row-parallel numpy (the r6 form was a per-pixel Python loop —
+    # byte-identical: same masks, same arithmetic >> on the signed
+    # int8 products, same add-then-mask order, red updated before the
+    # red→blue delta)
+    import numpy as np
+
     tw = _subsample(w, bits)
-    for p in range(w * h):
-        y, x = divmod(p, w)
-        cte = tiles[(y >> bits) * tw + (x >> bits)]
-        g2r = cte & 0xFF
-        g2b = (cte >> 8) & 0xFF
-        r2b = (cte >> 16) & 0xFF
-        v = pix[p]
-        green = (v >> 8) & 0xFF
-        red = ((v >> 16) & 0xFF) + _ct_delta(g2r, green) & 0xFF
-        blue = (v & 0xFF) + _ct_delta(g2b, green)
-        blue = (blue + _ct_delta(r2b, red)) & 0xFF
-        pix[p] = (v & 0xFF00FF00) | (red << 16) | blue
+    a = np.asarray(pix, dtype=np.uint32).reshape(h, w)
+    tmap = np.asarray(tiles, dtype=np.uint32).reshape(-1, tw)
+    cte = tmap[
+        (np.arange(h) >> bits)[:, None], (np.arange(w) >> bits)[None, :]
+    ]
+    g2r = _signed8(cte & 0xFF)
+    g2b = _signed8((cte >> 8) & 0xFF)
+    r2b = _signed8((cte >> 16) & 0xFF)
+    green = _signed8((a >> 8) & 0xFF)
+    red = (((a >> 16) & 0xFF).astype(np.int32) + ((g2r * green) >> 5)) & 0xFF
+    blue = (a & 0xFF).astype(np.int32) + ((g2b * green) >> 5)
+    blue = (blue + ((r2b * _signed8(red)) >> 5)) & 0xFF
+    out = (a & 0xFF00FF00) | (red.astype(np.uint32) << 16) | blue.astype(
+        np.uint32
+    )
+    pix[:] = out.ravel().tolist()
 
 
 def _inv_subtract_green(pix: List[int]) -> None:
-    for p in range(len(pix)):
-        v = pix[p]
-        g = (v >> 8) & 0xFF
-        red = (((v >> 16) & 0xFF) + g) & 0xFF
-        blue = ((v & 0xFF) + g) & 0xFF
-        pix[p] = (v & 0xFF00FF00) | (red << 16) | blue
+    # row-parallel numpy; byte-identical to the per-pixel form
+    import numpy as np
+
+    a = np.asarray(pix, dtype=np.uint32)
+    g = (a >> 8) & 0xFF
+    red = (((a >> 16) & 0xFF) + g) & 0xFF
+    blue = ((a & 0xFF) + g) & 0xFF
+    pix[:] = ((a & 0xFF00FF00) | (red << 16) | blue).tolist()
 
 
 def _inv_palette(
     packed: List[int], packed_w: int, h: int, width_bits: int,
     palette: List[int], w: int,
 ) -> List[int]:
+    # vectorized gather: per output column, the packed unit it reads
+    # and the sub-unit shift are pure functions of x
+    import numpy as np
+
     bpp = 8 >> width_bits       # bits per packed index
     per = 1 << width_bits       # pixels per packed unit
     mask = (1 << bpp) - 1
-    out = [0] * (w * h)
-    for y in range(h):
-        for x in range(w):
-            unit = packed[y * packed_w + (x >> width_bits)]
-            idx = ((unit >> 8) >> ((x % per) * bpp)) & mask
-            if idx >= len(palette):
-                raise Vp8lError("palette index out of range")
-            out[y * w + x] = palette[idx]
-    return out
+    p2 = np.asarray(packed, dtype=np.uint32).reshape(h, packed_w)
+    xs = np.arange(w)
+    units = p2[:, xs >> width_bits]
+    idx = ((units >> 8) >> ((xs % per) * bpp).astype(np.uint32)) & mask
+    if idx.size and int(idx.max()) >= len(palette):
+        raise Vp8lError("palette index out of range")
+    return np.asarray(palette, dtype=np.uint32)[idx].ravel().tolist()
 
 
 def _decode_image_stream(br: _Br, w: int, h: int, level0: bool) -> List[int]:
@@ -497,7 +518,12 @@ def vp8l_mean_rgb(body: bytes, max_pixels: int = 1 << 24) -> Optional[int]:
     _w, _h, pix = decode_vp8l(body, max_pixels)
     if pix is None or not pix:
         return None
-    total = 0
-    for v in pix:
-        total += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+    import numpy as np
+
+    a = np.asarray(pix, dtype=np.uint32)
+    total = int(
+        (((a >> 16) & 0xFF) + ((a >> 8) & 0xFF) + (a & 0xFF)).sum(
+            dtype=np.int64
+        )
+    )
     return total // (3 * len(pix))

@@ -47,6 +47,27 @@ def test_asof_join_golden(spark):
     }
 
 
+def test_asof_join_null_right_values_carried(spark):
+    """A right row whose VALUE is NULL is still the as-of match: the
+    struct carry must return (newer ts, NULL), never skip back to an
+    older non-null snapshot (pandas merge_asof / DuckDB ASOF
+    semantics; the r6 per-column last(ignorenulls) got this wrong)."""
+    from contessa_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t(12), 1)], "user_id long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(10), 100.0), (1, _t(11), None)],
+        "user_id long, ts timestamp, snap_value double",
+    )
+    rows = asof_join(
+        left, right, on=["user_id"], value_cols=["snap_value"]
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["asof_ts"], rows[0]["snap_value"]) == (_t(11), None)
+
+
 def test_asof_join_matches_naive(spark):
     import random
 
