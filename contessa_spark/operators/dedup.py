@@ -307,6 +307,57 @@ def _make_fnv64_memo():
     return _fnv64
 
 
+def _batch_shingle_hashes(texts, k, _fnv64):
+    """Batch core: FNV-64 hashes of every doc's shingles (first-
+    occurrence order), as ONE flat uint64 array plus per-doc lengths.
+
+    The batch's shingle strings are ``pd.factorize``-d so the per-byte
+    FNV loop runs once per UNIQUE shingle (Zipf: far fewer than
+    occurrences) and cross-batch repeats hit the per-worker memo; the
+    codes array then broadcasts the hashes back at numpy speed. The
+    old form paid an ``np.fromiter`` generator call per occurrence."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    per_doc = [py_shingles(t if isinstance(t, str) else "", k) for t in texts]
+    lens = np.fromiter(map(len, per_doc), dtype=np.int64, count=len(per_doc))
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    flat = np.empty(total, dtype=object)
+    flat[:] = list(itertools.chain.from_iterable(per_doc))
+    codes, uniq = pd.factorize(flat)
+    uh = np.fromiter(
+        (_fnv64(u) for u in uniq.tolist()), dtype=np.uint64, count=len(uniq)
+    )
+    return uh[codes], lens
+
+
+def _segment_unique(flat, lens):
+    """Per-doc sorted-unique over a flat (uint64) batch array: one
+    lexsort + run-boundary mask instead of one ``np.unique`` call per
+    doc. Returns a list of int64 arrays (unsigned sort order then
+    int64 view — exactly ``np.unique(raw).view(int64)``)."""
+    import numpy as np
+
+    n_docs = len(lens)
+    if len(flat) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return [empty] * n_docs
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    order = np.lexsort((flat, doc_of))
+    fs = flat[order]
+    ds = doc_of[order]
+    keep = np.empty(len(fs), dtype=bool)
+    keep[0] = True
+    np.logical_or(ds[1:] != ds[:-1], fs[1:] != fs[:-1], out=keep[1:])
+    vals = fs[keep].view(np.int64)
+    counts = np.bincount(ds[keep], minlength=n_docs)
+    return np.split(vals, np.cumsum(counts)[:-1])
+
+
 def hashed_shingles_udf(k: int = 3):
     """pandas UDF: text → array<long> of distinct FNV-64 shingle
     hashes. The inverted-index shuffle then carries 8-byte longs
@@ -315,22 +366,14 @@ def hashed_shingles_udf(k: int = 3):
     Jaccard over the hash sets equals Jaccard over the string sets
     unless two distinct shingles of the SAME doc pair FNV-collide
     (~2⁻⁶⁴ per pair of distinct shingles — negligible)."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     _fnv64 = _make_fnv64_memo()
 
     def _hs(texts):
-        out = []
-        for t in texts:
-            sh = py_shingles(t if isinstance(t, str) else "", k)
-            if not sh:
-                out.append([])
-                continue
-            raw = np.fromiter((_fnv64(s) for s in sh), dtype=np.uint64, count=len(sh))
-            out.append(np.unique(raw).view(np.int64).tolist())
-        return pd.Series(out)
+        flat, lens = _batch_shingle_hashes(texts, k, _fnv64)
+        return pd.Series(_segment_unique(flat, lens))
 
     _hs.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return F.pandas_udf(_hs, T.ArrayType(T.LongType()))
@@ -482,6 +525,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (Murmur3_x86_32
+    ``hashInt`` with Spark's default seed 42), as a signed int32 —
+    lets the driver predict ``pmod(hash(col), n)`` partition placement
+    for int columns. Checked against ``F.hash`` in tests."""
+    M = 0xFFFFFFFF
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & M
+
+    k1 = (x * 0xCC9E2D51) & M
+    k1 = rotl(k1, 15)
+    k1 = (k1 * 0x1B873593) & M
+    h1 = seed & M
+    h1 ^= k1
+    h1 = rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h1 ^= 4  # fmix: len in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _partition_target_values(n: int) -> list:
+    """For each partition p in 0..n-1, a small int v with
+    ``pmod(murmur3(v), n) == p`` — i.e. a column value Spark's hash
+    partitioner provably routes to partition p. Brute-force scan;
+    expected n·H(n) ≈ n·ln n murmur evaluations (microseconds for the
+    ≤4096 group counts this is used at)."""
+    out = [None] * n
+    found = 0
+    v = 0
+    while found < n:
+        p = _murmur3_int(v) % n
+        if out[p] is None:
+            out[p] = v
+            found += 1
+        v += 1
+    return out
+
+
 def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 21):
     """applyInPandas kernel for one block-pair: count |A∩B| for every
     doc pair sharing ≥1 shingle hash, threshold locally, emit only
@@ -527,99 +614,234 @@ def _make_block_pair_emitter(threshold: float, chunk_pairs: int = 1 << 21):
         lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=m)
         if int(lens.sum()) == 0:
             return _empty()
-        # int32 positions/keys where m² < 2³¹ (always at the default
-        # block_docs): halves the transient chunk arrays, which set the
-        # worker's peak RSS
-        dt = np.int32 if m <= 46340 else np.int64
         hcat = np.concatenate(hs)
-        dcat = np.repeat(np.arange(m, dtype=dt), lens)
-        if diag:
-            order = np.argsort(hcat, kind="stable")
-        else:
-            # within each run: side-0 elements first, then side-1 —
-            # lets L below emit ONLY cross-side pairs (no same-side
-            # waste; same-side pairs belong to the diagonal tasks)
-            order = np.lexsort((side[dcat], hcat))
-        hsorted = hcat[order]
-        dsorted = dcat[order]  # ascending row idx within each run
-        N = len(hsorted)
-        newrun = np.empty(N, dtype=bool)
-        newrun[0] = True
-        np.not_equal(hsorted[1:], hsorted[:-1], out=newrun[1:])
-        # start position of each element's run; L = how many earlier
-        # in-run elements each position pairs with
-        run_start = np.flatnonzero(newrun)
-        start_pos = run_start[np.cumsum(newrun) - 1]
-        if diag:
-            L = np.arange(N, dtype=np.int64) - start_pos
-        else:
-            # side-1 positions pair with every side-0 element of their
-            # run (all earlier by the lexsort); side-0 positions emit 0
-            s1 = side[dsorted]
-            cz = np.concatenate(([0], np.cumsum(s1 == 0, dtype=np.int64)))
-            run_len = np.diff(np.append(run_start, N))
-            n0_per_run = cz[run_start + run_len] - cz[run_start]
-            L = np.where(s1 == 1, n0_per_run[np.cumsum(newrun) - 1], 0)
-        csum = np.concatenate(([0], np.cumsum(L)))
-        if int(csum[-1]) == 0:
+        ia, ib, c, na, nb = _count_block_pair(
+            ids, ns, side, hcat, lens, diag, threshold, chunk_pairs
+        )
+        if len(ia) == 0:
             return _empty()
-        agg_k = agg_c = None
-        pos = 0
-        while pos < N:
-            end = int(np.searchsorted(csum, csum[pos] + chunk_pairs, "right")) - 1
-            end = max(end, pos + 1)
-            Ls = L[pos:end]
-            tot = int(csum[end] - csum[pos])
-            pos_prev, pos = pos, end
-            if tot == 0:
-                continue
-            # pair every position p in [pos_prev, end) with the L[p]
-            # earlier positions of its run
-            y = np.repeat(np.arange(pos_prev, end, dtype=np.int32), Ls)
-            base = (csum[pos_prev:end] - csum[pos_prev]).astype(np.int32)
-            x = (
-                np.arange(tot, dtype=np.int32)
-                - np.repeat(base, Ls)
-                + np.repeat(start_pos[pos_prev:end].astype(np.int32), Ls)
-            )
-            key = dsorted[x] * m + dsorted[y]  # u < v by in-run order
-            k, c = np.unique(key, return_counts=True)
-            if agg_k is None:
-                agg_k, agg_c = k, c
-            else:
-                allk = np.concatenate((agg_k, k))
-                allc = np.concatenate((agg_c, c))
-                o = np.argsort(allk, kind="stable")
-                allk, allc = allk[o], allc[o]
-                nr = np.empty(len(allk), dtype=bool)
-                nr[0] = True
-                np.not_equal(allk[1:], allk[:-1], out=nr[1:])
-                idx = np.flatnonzero(nr)
-                agg_k = allk[idx]
-                agg_c = np.add.reduceat(allc, idx)
-        u = agg_k // m
-        v = agg_k % m
-        c = agg_c
-        if len(u):
-            na = ns[u]
-            nb = ns[v]
-            keep = c / (na + nb - c) >= threshold
-            u, v, c, na, nb = u[keep], v[keep], c[keep], na[keep], nb[keep]
-        if len(u) == 0:
-            return _empty()
-        ia = ids[u]
-        ib = ids[v]
         return pd.DataFrame(
             {
-                "id_a": np.minimum(ia, ib),
-                "id_b": np.maximum(ia, ib),
-                "common": c.astype(np.int64),
-                "na": na.astype(np.int32),
-                "nb": nb.astype(np.int32),
+                "id_a": ia,
+                "id_b": ib,
+                "common": c,
+                "na": na,
+                "nb": nb,
             }
         )
 
     return emit
+
+
+def _count_block_pair(ids, ns, side, hcat, lens, diag, threshold, chunk_pairs):
+    """Numeric core of the block-pair counter (see
+    ``_make_block_pair_emitter``): takes the block-pair's rows as flat
+    numpy arrays, returns (id_a, id_b, common, na, nb) for pairs at or
+    above ``threshold``. Chunk results are accumulated in a pending
+    list and merged GEOMETRICALLY (only once pending reaches the
+    aggregate's size) — the old merge re-sorted the full aggregate
+    after every chunk, which made per-task cost superlinear in block
+    size and dominated large-block runs."""
+    import numpy as np
+
+    m = len(ids)
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int32),
+        np.empty(0, np.int32),
+    )
+    # int32 positions/keys where m² < 2³¹ (always at the default
+    # block_docs): halves the transient chunk arrays, which set the
+    # worker's peak RSS
+    dt = np.int32 if m <= 46340 else np.int64
+    dcat = np.repeat(np.arange(m, dtype=dt), lens)
+    if diag:
+        order = np.argsort(hcat, kind="stable")
+    else:
+        # within each run: side-0 elements first, then side-1 —
+        # lets L below emit ONLY cross-side pairs (no same-side
+        # waste; same-side pairs belong to the diagonal tasks)
+        order = np.lexsort((side[dcat], hcat))
+    hsorted = hcat[order]
+    dsorted = dcat[order]  # ascending row idx within each run
+    N = len(hsorted)
+    newrun = np.empty(N, dtype=bool)
+    newrun[0] = True
+    np.not_equal(hsorted[1:], hsorted[:-1], out=newrun[1:])
+    # start position of each element's run; L = how many earlier
+    # in-run elements each position pairs with
+    run_start = np.flatnonzero(newrun)
+    start_pos = run_start[np.cumsum(newrun) - 1]
+    if diag:
+        L = np.arange(N, dtype=np.int64) - start_pos
+    else:
+        # side-1 positions pair with every side-0 element of their
+        # run (all earlier by the lexsort); side-0 positions emit 0
+        s1 = side[dsorted]
+        cz = np.concatenate(([0], np.cumsum(s1 == 0, dtype=np.int64)))
+        run_len = np.diff(np.append(run_start, N))
+        n0_per_run = cz[run_start + run_len] - cz[run_start]
+        L = np.where(s1 == 1, n0_per_run[np.cumsum(newrun) - 1], 0)
+    csum = np.concatenate(([0], np.cumsum(L)))
+    if int(csum[-1]) == 0:
+        return empty
+
+    def _merge(arrs_k, arrs_c):
+        allk = np.concatenate(arrs_k)
+        allc = np.concatenate(arrs_c)
+        o = np.argsort(allk, kind="stable")
+        allk, allc = allk[o], allc[o]
+        nr = np.empty(len(allk), dtype=bool)
+        nr[0] = True
+        np.not_equal(allk[1:], allk[:-1], out=nr[1:])
+        idx = np.flatnonzero(nr)
+        return allk[idx], np.add.reduceat(allc, idx)
+
+    agg_k = agg_c = None
+    pend_k, pend_c, pend_n = [], [], 0
+    pos = 0
+    while pos < N:
+        end = int(np.searchsorted(csum, csum[pos] + chunk_pairs, "right")) - 1
+        end = max(end, pos + 1)
+        Ls = L[pos:end]
+        tot = int(csum[end] - csum[pos])
+        pos_prev, pos = pos, end
+        if tot == 0:
+            continue
+        # pair every position p in [pos_prev, end) with the L[p]
+        # earlier positions of its run
+        y = np.repeat(np.arange(pos_prev, end, dtype=np.int32), Ls)
+        base = (csum[pos_prev:end] - csum[pos_prev]).astype(np.int32)
+        x = (
+            np.arange(tot, dtype=np.int32)
+            - np.repeat(base, Ls)
+            + np.repeat(start_pos[pos_prev:end].astype(np.int32), Ls)
+        )
+        key = dsorted[x] * m + dsorted[y]  # u < v by in-run order
+        k, c = np.unique(key, return_counts=True)
+        pend_k.append(k)
+        pend_c.append(c)
+        pend_n += len(k)
+        if pend_n >= max(len(agg_k) if agg_k is not None else 0, chunk_pairs):
+            if agg_k is not None:
+                pend_k.append(agg_k)
+                pend_c.append(agg_c)
+            agg_k, agg_c = _merge(pend_k, pend_c)
+            pend_k, pend_c, pend_n = [], [], 0
+    if pend_n:
+        if agg_k is not None:
+            pend_k.append(agg_k)
+            pend_c.append(agg_c)
+        agg_k, agg_c = _merge(pend_k, pend_c)
+    u = agg_k // m
+    v = agg_k % m
+    c = agg_c
+    na = ns[u]
+    nb = ns[v]
+    keep = c / (na + nb - c) >= threshold
+    u, v, c, na, nb = u[keep], v[keep], c[keep], na[keep], nb[keep]
+    if len(u) == 0:
+        return empty
+    ia = ids[u]
+    ib = ids[v]
+    return (
+        np.minimum(ia, ib),
+        np.maximum(ia, ib),
+        c.astype(np.int64),
+        na.astype(np.int32),
+        nb.astype(np.int32),
+    )
+
+
+def _make_block_pair_arrow_kernel(threshold: float, chunk_pairs: int = 1 << 21):
+    """mapInArrow kernel for a partition holding one or more complete
+    block-pair groups (explicit LPT placement — see
+    ``_ngram_jaccard_pairs_blocked``). Reads the Arrow list column's
+    contiguous values+offsets buffers directly, so the per-row ndarray
+    allocation, ``pd.concat`` and per-row ``np.asarray`` the pandas
+    path pays (hundreds of thousands of tiny objects per task at
+    replication factor B) never happen; per group the kernel runs the
+    same ``_count_block_pair`` core on one gathered slice."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        ids_l, ns_l, side_l, bi_l, bj_l, flat_l, lens_l = (
+            [], [], [], [], [], [], [],
+        )
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            cols = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            ids_l.append(cols["_id"].to_numpy(zero_copy_only=False))
+            ns_l.append(
+                cols["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            side_l.append(
+                cols["_side"].to_numpy(zero_copy_only=False).astype(np.int8)
+            )
+            bi_l.append(cols["_bi"].to_numpy(zero_copy_only=False))
+            bj_l.append(cols["_bj"].to_numpy(zero_copy_only=False))
+            sh = cols["_sh"]
+            offs = sh.offsets.to_numpy(zero_copy_only=False)
+            vals = sh.values.to_numpy(zero_copy_only=False)
+            lens_l.append(np.diff(offs))
+            flat_l.append(vals[offs[0] : offs[-1]])
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        ns = np.concatenate(ns_l)
+        side = np.concatenate(side_l)
+        bi = np.concatenate(bi_l).astype(np.int64)
+        bj = np.concatenate(bj_l).astype(np.int64)
+        lens = np.concatenate(lens_l)
+        flat = np.concatenate(flat_l) if flat_l else np.empty(0, np.int64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        gkey = bi * (1 << 31) + bj
+        out = []
+        for g in np.unique(gkey):
+            rows = np.flatnonzero(gkey == g)
+            if len(rows) < 2:
+                continue
+            Lr = lens[rows]
+            tot = int(Lr.sum())
+            if tot == 0:
+                continue
+            shift = np.concatenate(([0], np.cumsum(Lr[:-1])))
+            gi = np.repeat(bounds[rows] - shift, Lr) + np.arange(tot)
+            res = _count_block_pair(
+                ids[rows],
+                ns[rows],
+                side[rows],
+                flat[gi],
+                Lr,
+                bool((g >> 31) == (g & ((1 << 31) - 1))),
+                threshold,
+                chunk_pairs,
+            )
+            if len(res[0]):
+                out.append(res)
+        if out:
+            ia = np.concatenate([p[0] for p in out])
+            ib = np.concatenate([p[1] for p in out])
+            c = np.concatenate([p[2] for p in out])
+            na = np.concatenate([p[3] for p in out])
+            nb = np.concatenate([p[4] for p in out])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ia, type=pa.int64()),
+                    pa.array(ib, type=pa.int64()),
+                    pa.array(c, type=pa.int64()),
+                    pa.array(na, type=pa.int32()),
+                    pa.array(nb, type=pa.int32()),
+                ],
+                names=["id_a", "id_b", "common", "na", "nb"],
+            )
+
+    return kernel
 
 
 def _ngram_jaccard_pairs_blocked(
@@ -665,10 +887,55 @@ def _ngram_jaccard_pairs_blocked(
         .select("_id", "_sh", "_n", F.explode(targets).alias("_p"))
         .select("_id", "_sh", "_n", "_p.*")
     )
-    cand = rep.groupBy("_bi", "_bj").applyInPandas(
-        _make_block_pair_emitter(threshold),
-        schema="id_a long, id_b long, common long, na int, nb int",
-    )
+    emit = _make_block_pair_emitter(threshold)
+    schema = "id_a long, id_b long, common long, na int, nb int"
+    nG = B * (B + 1) // 2
+    n_bins = max(sc.defaultParallelism, 1)
+    if n_bins < nG <= 4096:
+        # Pack the nG block-pair groups into EXACTLY defaultParallelism
+        # reduce tasks, balanced by predicted pair work (off-diagonal
+        # blocks hold 2m docs and ~2× a diagonal's pairs), and place
+        # each bin on its own partition via a value Spark's
+        # murmur3-mod-n partitioner provably routes there. Plain
+        # groupBy hashing stacked 2-5 groups per task (measured 5×
+        # min/max skew at sf1.0, worsened by AQE's byte-based
+        # coalescing — partition bytes say nothing about O(m²) pair
+        # work), and one-group-per-task lost to wave quantization
+        # (nG tasks over P cores = ragged ceil(nG/P) waves). LPT
+        # packing + explicit placement gives one full wave of
+        # near-equal tasks; an explicit numPartitions AQE won't
+        # coalesce. Beyond 4096 groups (or nG ≤ cores) the law of
+        # large numbers (resp. the group count) makes hashing fine.
+        weights = [
+            (bi * B - (bi * (bi - 1)) // 2 + (bj - bi), 1 if bi == bj else 2)
+            for bi in range(B)
+            for bj in range(bi, B)
+        ]
+        order = sorted(weights, key=lambda tw: -tw[1])
+        assign = [0] * nG
+        import heapq
+
+        heap = [(0, b) for b in range(n_bins)]
+        heapq.heapify(heap)
+        for t, w in order:
+            load, b = heapq.heappop(heap)
+            assign[t] = b
+            heapq.heappush(heap, (load + w, b))
+        tvals = _partition_target_values(n_bins)
+        route = [tvals[assign[t]] for t in range(nG)]
+        t_idx = F.expr(
+            f"_bi * {B} - (_bi * (_bi - 1)) DIV 2 + (_bj - _bi)"
+        ).cast("int")
+        part = (
+            rep.withColumn("_pt", F.element_at(F.lit(route), t_idx + 1))
+            .repartition(n_bins, "_pt")
+            .select("_id", "_sh", "_n", "_bi", "_bj", "_side")
+        )
+        cand = part.mapInArrow(
+            _make_block_pair_arrow_kernel(threshold), schema=schema
+        )
+    else:
+        cand = rep.groupBy("_bi", "_bj").applyInPandas(emit, schema=schema)
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         cand.withColumn("jaccard", jac)
@@ -713,39 +980,71 @@ def _affine_params(n_hashes: int, seed: int = 1234567):
     return a, b
 
 
+def _batch_band_keys(flat, lens, n_hashes, bands, A, B):
+    """Batch minhash → band keys over a flat shingle-hash array.
+
+    For each affine permutation j the whole batch is transformed in one
+    vectorized pass and segment-minimized with ``minimum.reduceat``
+    (per-doc boundaries), then the per-band FNV fold runs as uint64
+    vector ops across ALL docs at once — the old per-doc form paid a
+    (n_hashes × n_shingles) allocation per doc plus a Python int-boxing
+    loop per band key, which dominated the signature UDF.
+
+    Bit-identical to the old form: uint64 multiply/add wrap mod 2^64
+    exactly like the old numpy broadcast; the final signed key
+    ``(acc ^ band) − 2^63`` is computed as the int64 view of
+    ``(acc ^ band) ^ 2^63`` (adding/subtracting 2^63 mod 2^64 only
+    flips the top bit). Returns an (n_nonempty, bands) int64 matrix for
+    the docs with ≥1 shingle, plus the nonzero mask."""
+    import numpy as np
+
+    r = n_hashes // bands
+    nz = lens > 0
+    if not nz.any():
+        return np.empty((0, bands), dtype=np.int64), nz
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    starts = bounds[:-1][nz]
+    base = flat % np.uint64(_MERSENNE)
+    n_nz = int(nz.sum())
+    sig = np.empty((n_hashes, n_nz), dtype=np.uint64)
+    for j in range(n_hashes):
+        y = (A[j] * base + B[j]) % np.uint64(_MERSENNE)
+        sig[j] = np.minimum.reduceat(y, starts)
+    basis = np.uint64(1469598103934665603)
+    prime = np.uint64(0x100000001B3)
+    keys = np.empty((bands, n_nz), dtype=np.uint64)
+    for i in range(bands):
+        acc = np.full(n_nz, basis, dtype=np.uint64)
+        for row in range(i * r, (i + 1) * r):
+            acc = (acc ^ sig[row]) * prime
+        # band index folded in so bands never collide across i
+        keys[i] = acc ^ np.uint64(i)
+    signed = (keys ^ np.uint64(1 << 63)).view(np.int64)
+    return np.ascontiguousarray(signed.T), nz
+
+
 def band_keys_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
     """pandas UDF: text → array<long> of LSH band keys.
 
-    Per doc: shingles → FNV-64 base hash per shingle → affine family
-    ``(a_j·h + b_j) mod (2^61−1)`` → min per j (the minhash signature)
-    → one combined key per band. All numpy; deterministic.
+    Per batch: shingles → FNV-64 base hash per shingle (factorized) →
+    affine family ``(a_j·h + b_j) mod (2^61−1)`` → segment-min per doc
+    (the minhash signature) → vectorized FNV fold per band. All numpy;
+    deterministic; value-identical to the per-doc reference form.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    r = n_hashes // bands
     A, B = _affine_params(n_hashes)
     _fnv64 = _make_fnv64_memo()
 
     def _keys(texts):
-        out = []
-        for t in texts:
-            sh = py_shingles(t if isinstance(t, str) else "", k)
-            if not sh:
-                out.append([])
-                continue
-            base = np.array([_fnv64(s) for s in sh], dtype=np.uint64) % _MERSENNE
-            # (n_hashes, n_shingles) affine transforms, min per row
-            sig = ((A[:, None] * base[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
-            keys = []
-            for i in range(bands):
-                acc = np.uint64(1469598103934665603)
-                for v in sig[i * r : (i + 1) * r]:
-                    acc = np.uint64((int(acc) ^ int(v)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                # band index folded in so bands never collide across i
-                keys.append(int((int(acc) ^ i) - (1 << 63)))
-            out.append(keys)
+        flat, lens = _batch_shingle_hashes(texts, k, _fnv64)
+        km, nz = _batch_band_keys(flat, lens, n_hashes, bands, A, B)
+        empty = np.empty(0, dtype=np.int64)
+        out = [empty] * len(lens)
+        for idx, d in enumerate(np.flatnonzero(nz)):
+            out[d] = km[idx]
         return pd.Series(out)
 
     _keys.__annotations__ = {"texts": pd.Series, "return": pd.Series}
@@ -770,33 +1069,17 @@ def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
     import pandas as pd
     from pyspark.sql import types as T
 
-    r = n_hashes // bands
     A, B = _affine_params(n_hashes)
     _fnv64 = _make_fnv64_memo()
 
     def _sig(texts):
-        keys_out, hs_out = [], []
-        for t in texts:
-            sh = py_shingles(t if isinstance(t, str) else "", k)
-            if not sh:
-                keys_out.append([])
-                hs_out.append([])
-                continue
-            raw = np.fromiter(
-                (_fnv64(s) for s in sh), dtype=np.uint64, count=len(sh)
-            )
-            base = raw % _MERSENNE
-            sig = ((A[:, None] * base[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
-            keys = []
-            for i in range(bands):
-                acc = np.uint64(1469598103934665603)
-                for v in sig[i * r : (i + 1) * r]:
-                    acc = np.uint64(
-                        (int(acc) ^ int(v)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
-                    )
-                keys.append(int((int(acc) ^ i) - (1 << 63)))
-            keys_out.append(keys)
-            hs_out.append(np.unique(raw).view(np.int64).tolist())
+        flat, lens = _batch_shingle_hashes(texts, k, _fnv64)
+        km, nz = _batch_band_keys(flat, lens, n_hashes, bands, A, B)
+        empty = np.empty(0, dtype=np.int64)
+        keys_out = [empty] * len(lens)
+        for idx, d in enumerate(np.flatnonzero(nz)):
+            keys_out[d] = km[idx]
+        hs_out = _segment_unique(flat, lens)
         return pd.DataFrame({"keys": keys_out, "hs": hs_out})
 
     _sig.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
