@@ -189,7 +189,18 @@ def spark_stat_columns(text_col: str = "text", words_col: str = None):
 
     c = F.col(text_col)
     words = F.col(words_col) if words_col else spark_words_col(text_col)
-    n_words = F.size(words)
+    # word count == number of non-whitespace runs: with no materialized
+    # words column, counting runs directly keeps the three guards/
+    # denominators from each embedding their own copy of the split
+    # (codegen does not CSE across columns; only `repetition`, which
+    # needs the distinct set, pays the split then)
+    n_words = (
+        F.size(words)
+        if words_col
+        else F.when(c.isNull(), F.lit(-1)).otherwise(
+            F.regexp_count(c, F.lit(r"(?U)\S+"))
+        )
+    )
 
     return {
         "n_chars": F.length(c).cast("long"),

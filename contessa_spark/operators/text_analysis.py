@@ -270,13 +270,18 @@ def alpha_word_stats(
 ) -> DataFrame:
     """Gopher §A1.2 'at least 80 % of words contain an alphabetic
     character': per-doc fraction of words with ≥1 letter and the
-    boolean 80 %-gate. Pure per-row JVM (rlike inside a filter lambda),
-    no shuffle; same letter class as the token/symbol contract."""
-    from contessa_spark.functions.textstats import spark_words_col
-
-    words = spark_words_col(text_col)
-    n = F.size(words)
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+    boolean 80 %-gate. Pure per-row JVM regexp counts (no split, no
+    interpreted filter lambda — r7): a token contains a letter iff the
+    anchored pattern matches at its start, and the word count is the
+    number of non-whitespace runs; both counts are exactly the old
+    split-based integers (checked on edges and the sf corpora)."""
+    c = F.col(text_col)
+    n = F.when(c.isNull(), F.lit(-1)).otherwise(
+        F.regexp_count(c, F.lit(r"(?U)\S+"))
+    )
+    alpha = F.regexp_count(
+        c, F.lit(r"(?U)(?:^|(?<=\s))[^\sA-Za-zÀ-ÿ]*[A-Za-zÀ-ÿ]\S*(?=\s|$)")
+    )
     frac = F.when(n == 0, F.lit(0.0)).otherwise(alpha / n.cast("double"))
     return df.select(
         F.col(id_col),
