@@ -763,21 +763,37 @@ def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_quality,
         train_quality_classifier,
     )
-    from contessa_spark.functions.textstats import spark_stat_columns
+    from contessa_spark.functions.textstats import (
+        py_n_chars,
+        py_repetition,
+        py_stopword_frac,
+        py_symbol_ratio,
+    )
 
     docs = _load(spark, sf_dir, "documents")
-    ann = docs
-    for name, col in spark_stat_columns("text").items():
-        ann = ann.withColumn(name, col)
-    labeled = ann.withColumn(
-        "keep",
-        (F.col("n_chars") >= 100)
-        & (F.col("symbol_ratio") < 0.15)
-        & (F.col("repetition") < 0.85)
-        & (F.col("stopword_frac") > 0.10),
-    )
+
+    # self-distilled keep label, computed driver-side on the ≤2k
+    # COLLECTED training rows via the py_* cores (bit-equal to the
+    # Column stats by the shared property tests) — the Column form made
+    # Spark evaluate all five stat columns for the whole hash sample
+    # just to label the 2k survivors. The label is NULL only for NULL
+    # text, which the isNotNull pre-filter reproduces, so the
+    # (hash, id)-ordered top-k pool — and hence the trained weights —
+    # are identical.
+    def keep_label(t):
+        return float(
+            py_n_chars(t) >= 100
+            and py_symbol_ratio(t) < 0.15
+            and py_repetition(t) < 0.85
+            and py_stopword_frac(t) > 0.10
+        )
+
     w = train_quality_classifier(
-        labeled, "keep", sample_fraction=0.5, max_train_docs=2000
+        docs.where(F.col("text").isNotNull()),
+        None,
+        sample_fraction=0.5,
+        max_train_docs=2000,
+        label_fn=keep_label,
     )
     return classify_quality(_spread(docs, spark), w)
 

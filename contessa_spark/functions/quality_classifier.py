@@ -100,7 +100,7 @@ def train_logreg(
 
 def train_quality_classifier(
     df: DataFrame,
-    label_col: str,
+    label_col: Optional[str],
     text_col: str = "text",
     id_col: str = "doc_id",
     n_features: int = 4096,
@@ -108,6 +108,7 @@ def train_quality_classifier(
     max_train_docs: int = 10_000,
     iters: int = 200,
     seed: int = 42,
+    label_fn=None,
 ) -> "np.ndarray":
     """Returns the weight vector (len ``n_features``+``N_EXTRA``,
     bias last).
@@ -115,10 +116,25 @@ def train_quality_classifier(
     The sample is a hash-threshold predicate on the id (layout-stable);
     ``max_train_docs`` caps driver memory via TakeOrderedAndProject on
     the same hash (deterministic which rows survive, independent of
-    partitioning)."""
-    base = df.select(
-        F.col(id_col), F.col(text_col), F.col(label_col).cast("double").alias("_y")
-    ).where(F.col(label_col).isNotNull())
+    partitioning).
+
+    ``label_fn`` (text → float label, or None to drop the row) labels
+    the ≤``max_train_docs`` COLLECTED rows driver-side instead of
+    evaluating a label Column for every sampled row — when the label
+    is derived from the text (the self-distillation bootstrap), the
+    Column form made Spark compute the full stat columns for the whole
+    hash sample just to project the ≤2k survivors (TakeOrdered prunes
+    rows, not upstream column work). Callers must pre-filter rows the
+    Column form would have dropped (label NULL ⟺ text NULL for the
+    stat-based labels) so the top-k pool is identical."""
+    if label_fn is not None:
+        base = df.select(F.col(id_col), F.col(text_col))
+    else:
+        base = df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.col(label_col).cast("double").alias("_y"),
+        ).where(F.col(label_col).isNotNull())
     h = F.xxhash64(F.col(id_col), F.lit(seed))
     if sample_fraction is not None:
         thr = max(1, int(sample_fraction * 1_000_000))
@@ -129,13 +145,21 @@ def train_quality_classifier(
         # sums, so it must be bit-stable across physical layouts
         .orderBy("_h", id_col)
         .limit(max_train_docs)
-        .select(text_col, "_y")
+        .select(text_col, *([] if label_fn is not None else ["_y"]))
         .collect()
     )
-    X = np.stack(
-        [_hash_words(r[text_col] or "", n_features) for r in rows]
-    )
-    y = np.array([r["_y"] for r in rows], dtype=np.float64)
+    if label_fn is not None:
+        labeled = [
+            (r[text_col], label_fn(r[text_col])) for r in rows
+        ]
+        labeled = [(t, y) for t, y in labeled if y is not None]
+        X = np.stack([_hash_words(t or "", n_features) for t, _ in labeled])
+        y = np.array([float(y) for _, y in labeled], dtype=np.float64)
+    else:
+        X = np.stack(
+            [_hash_words(r[text_col] or "", n_features) for r in rows]
+        )
+        y = np.array([r["_y"] for r in rows], dtype=np.float64)
     return train_logreg(X, y, iters=iters)
 
 
