@@ -1216,7 +1216,10 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from contessa_spark.operators.multimodal import decode_images, fake_image_bytes
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    # the single-file documents scan yields ONE split; the synth+decode
+    # python chain inherits it and serializes onto one core without
+    # the round-robin spread (no-op at production split counts)
+    docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
 
     def make_media(batches):
         for pdf in batches:
@@ -1338,7 +1341,7 @@ def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from contessa_spark.operators.multimodal import decode_audio, fake_wav_bytes
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
 
     def make_media(batches):
         for pdf in batches:
@@ -1367,7 +1370,7 @@ def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from contessa_spark.operators.multimodal import decode_video, fake_mp4_bytes
 
-    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_load(spark, sf_dir, "documents").select("doc_id"), spark)
 
     def make_media(batches):
         for pdf in batches:
