@@ -191,13 +191,13 @@ def _consistency_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import token_counts
 
-    return token_counts(_load(spark, sf_dir, "documents"))
+    return token_counts(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import quality_scores
 
-    return quality_scores(_load(spark, sf_dir, "documents"))
+    return quality_scores(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +207,7 @@ def _doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_terciles,
     )
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     scored = quality_scores(docs, keep_cols=("lang",)).select(
         "doc_id", "lang", "quality_score"
     )
@@ -217,7 +217,7 @@ def _doc_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_keep_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.functions.textstats import spark_stat_columns
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     stats = spark_stat_columns("text")
     keep = (
         (stats["n_chars"] >= 100)
@@ -242,7 +242,7 @@ def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import dup_ngram_char_frac
 
-    return dup_ngram_char_frac(_load(spark, sf_dir, "documents"), n=2)
+    return dup_ngram_char_frac(_spread(_load(spark, sf_dir, "documents"), spark), n=2)
 
 
 def _doc_dup_ngrams5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,19 +250,19 @@ def _doc_dup_ngrams5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the generalized core against the parameterized oracle
     from contessa_spark.operators.text_analysis import dup_ngram_char_frac
 
-    return dup_ngram_char_frac(_load(spark, sf_dir, "documents"), n=5)
+    return dup_ngram_char_frac(_spread(_load(spark, sf_dir, "documents"), spark), n=5)
 
 
 def _doc_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import dup_line_fracs
 
-    return dup_line_fracs(_load(spark, sf_dir, "documents"))
+    return dup_line_fracs(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import top_ngram_char_frac
 
-    return top_ngram_char_frac(_load(spark, sf_dir, "documents"), ns=(2, 3, 4))
+    return top_ngram_char_frac(_spread(_load(spark, sf_dir, "documents"), spark), ns=(2, 3, 4))
 
 
 def _doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,13 +295,13 @@ def _doc_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_alpha_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import alpha_word_stats
 
-    return alpha_word_stats(_load(spark, sf_dir, "documents"))
+    return alpha_word_stats(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import line_stats
 
-    return line_stats(_load(spark, sf_dir, "documents"))
+    return line_stats(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +346,7 @@ def _token_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import detect_language
 
-    return detect_language(_load(spark, sf_dir, "documents"))
+    return detect_language(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +683,7 @@ def _doc_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.functions.badwords import badword_stats
 
     return badword_stats(
-        _load(spark, sf_dir, "documents"),
+        _spread(_load(spark, sf_dir, "documents"), spark),
         words=["slow"],
         phrases=["row scan"],
     )
@@ -693,7 +693,7 @@ def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import chunk_documents
 
     return chunk_documents(
-        _load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+        _spread(_load(spark, sf_dir, "documents"), spark), chunk_tokens=64, overlap=8
     )
 
 
@@ -704,7 +704,7 @@ def _lm_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject cap. Fully SQL-expressible → oracle-backed.
     from contessa_spark.functions.kenlm import top_ngram_counts
 
-    return top_ngram_counts(_load(spark, sf_dir, "documents"), 3, 200)
+    return top_ngram_counts(_spread(_load(spark, sf_dir, "documents"), spark), 3, 200)
 
 
 def _doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,7 +831,7 @@ def _doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = pq.ParquetFile(
         os.path.join(sf_dir, "documents.parquet")
     ).metadata.num_rows
-    return tfidf_top_terms(_load(spark, sf_dir, "documents"), k=5, n_docs=n_docs)
+    return tfidf_top_terms(_spread(_load(spark, sf_dir, "documents"), spark), k=5, n_docs=n_docs)
 
 
 def _doc_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,7 +986,7 @@ def _doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually shares grams — production uses n=13 (GPT-3 appendix C)
     from contessa_spark.operators.decontaminate import ngram_contamination
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     bench = docs.where(F.col("doc_id") % 50 == 0)
     return ngram_contamination(docs, bench, n=3)
 

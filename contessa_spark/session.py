@@ -45,6 +45,14 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan-parallelism FLOOR (not a split-size cap): a single
+        # ~100 MB parquet file is one 128 MB split by default, so every
+        # scan-heavy stage over it serializes onto one core; the floor
+        # makes Spark shrink splits just enough to hand each core work
+        # when the files' row groups allow. Scale-correct: at
+        # production split counts (≫ cores) it is a no-op, unlike
+        # lowering maxPartitionBytes, which would fragment large scans.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
