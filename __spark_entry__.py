@@ -234,7 +234,7 @@ def _doc_keep_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import fingerprints
 
-    return fingerprints(_load(spark, sf_dir, "documents")).select(
+    return fingerprints(_spread(_load(spark, sf_dir, "documents"), spark)).select(
         "doc_id", "fingerprint"
     )
 
@@ -271,7 +271,7 @@ def _doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import pack_documents
 
     return pack_documents(
-        _load(spark, sf_dir, "documents"),
+        _spread(_load(spark, sf_dir, "documents"), spark),
         budget_tokens=2048,
         n_buckets=8,
         bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
@@ -285,7 +285,7 @@ def _doc_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.text_analysis import pack_documents_bfd
 
     return pack_documents_bfd(
-        _load(spark, sf_dir, "documents"),
+        _spread(_load(spark, sf_dir, "documents"), spark),
         budget_tokens=2048,
         n_buckets=8,
         bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
@@ -513,7 +513,7 @@ def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(
-        _load(spark, sf_dir, "documents"), _BM25_QUERIES, k=10
+        _spread(_load(spark, sf_dir, "documents"), spark), _BM25_QUERIES, k=10
     )
 
 
@@ -531,7 +531,7 @@ def _doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.retrieval import bm25_topk, rrf_fuse
     from contessa_spark.operators.similarity import brute_force_topk
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     emb = _load(spark, sf_dir, "embeddings")
     lexical = bm25_topk(docs, _BM25_QUERIES, k=20).select(
         "query_id", "doc_id", "rank"
@@ -801,19 +801,19 @@ def _doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_load(spark, sf_dir, "documents")).select("doc_id")
+    return exact_dedup(_spread(_load(spark, sf_dir, "documents"), spark)).select("doc_id")
 
 
 def _doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import dedup_doc_lines
 
-    return dedup_doc_lines(_load(spark, sf_dir, "documents"))
+    return dedup_doc_lines(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import corpus_line_dedup
 
-    return corpus_line_dedup(_load(spark, sf_dir, "documents"))
+    return corpus_line_dedup(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 #: target mixture for the doc_mixture_sample query — shared with its
@@ -938,7 +938,7 @@ def _doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from contessa_spark.operators.dedup import corpus_sentence_dedup
 
-    return corpus_sentence_dedup(_load(spark, sf_dir, "documents"))
+    return corpus_sentence_dedup(_spread(_load(spark, sf_dir, "documents"), spark))
 
 
 def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
