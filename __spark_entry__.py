@@ -717,9 +717,9 @@ def _doc_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle-backed lm_trigram_counts.
     from contessa_spark.functions.kenlm import kn_perplexity, train_kn
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _spread(_load(spark, sf_dir, "documents"), spark)
     model = train_kn(docs, order=3, min_count=2, max_grams=200_000)
-    return kn_perplexity(_spread(docs, spark), model)
+    return kn_perplexity(docs, model)
 
 
 def _doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
