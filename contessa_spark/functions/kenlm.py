@@ -42,7 +42,7 @@ import math
 import re
 from typing import Dict, List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: scoring-side tokenizer (python mirror of the JVM (?U)\s+ split)
@@ -51,14 +51,10 @@ _WS_RE = re.compile(r"\s+", re.UNICODE)
 UNK = "<unk>"
 
 
-def _words_col(text_col: str) -> Column:
-    return F.filter(
-        F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != F.lit("")
-    )
-
-
 def py_tokens(text: Optional[str]) -> List[str]:
-    """Scoring-side tokenizer (mirror of `_words_col`)."""
+    """Scoring-side tokenizer (python ``\\s+`` split; the counting
+    side uses ``_java_ws_re`` — the explicit White_Space class — for
+    exact oracle agreement on control codes)."""
     if not text:
         return []
     return [w for w in _WS_RE.split(text) if w]

@@ -144,6 +144,7 @@ def _stopword_token_pattern() -> str:
     token's first letter (measured 4× over the flat alternation at
     sf1.0). Counting matches equals counting stopword tokens because
     token matches are disjoint (each ends at whitespace)."""
+    import re as _re
     from collections import defaultdict
 
     groups = defaultdict(list)
@@ -152,15 +153,19 @@ def _stopword_token_pattern() -> str:
     alts = []
     for ch in sorted(groups):
         ws = groups[ch]
-        suffixes = [w[1:] for w in ws]
+        # escape defensively: the list is derived from seed corpora, so
+        # a future corpus edit must not silently corrupt the pattern
+        # (escaping is the identity on the current all-letter words)
+        suffixes = [_re.escape(w[1:]) for w in ws]
+        ech = _re.escape(ch)
         has_empty = "" in suffixes
         suffixes = [s for s in suffixes if s]
         if not suffixes:
-            alts.append(ch)
+            alts.append(ech)
         elif has_empty:
-            alts.append(f"{ch}(?:{'|'.join(suffixes)})?")
+            alts.append(f"{ech}(?:{'|'.join(suffixes)})?")
         else:
-            alts.append(f"{ch}(?:{'|'.join(suffixes)})")
+            alts.append(f"{ech}(?:{'|'.join(suffixes)})")
     return r"(?U)(?:^|(?<=\s))(?:" + "|".join(alts) + r")(?=\s|$)"
 
 

@@ -887,7 +887,6 @@ def _ngram_jaccard_pairs_blocked(
         .select("_id", "_sh", "_n", F.explode(targets).alias("_p"))
         .select("_id", "_sh", "_n", "_p.*")
     )
-    emit = _make_block_pair_emitter(threshold)
     schema = "id_a long, id_b long, common long, na int, nb int"
     nG = B * (B + 1) // 2
     n_bins = max(sc.defaultParallelism, 1)
@@ -935,7 +934,9 @@ def _ngram_jaccard_pairs_blocked(
             _make_block_pair_arrow_kernel(threshold), schema=schema
         )
     else:
-        cand = rep.groupBy("_bi", "_bj").applyInPandas(emit, schema=schema)
+        cand = rep.groupBy("_bi", "_bj").applyInPandas(
+            _make_block_pair_emitter(threshold), schema=schema
+        )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         cand.withColumn("jaccard", jac)
@@ -1053,7 +1054,8 @@ def band_keys_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
 
 def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
     """pandas UDF: text → struct(keys: array<long> LSH band keys,
-    hs: array<long> distinct shingle hashes).
+    hs: binary — the distinct shingle hashes packed as native int64
+    bytes).
 
     ONE fused pass computes both what the candidate stage needs (band
     keys — same derivation as ``band_keys_udf``) and what the verify
@@ -1064,7 +1066,14 @@ def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
     unless two distinct shingles FNV-collide (~2⁻⁶⁴ per pair of
     distinct shingles — negligible even at 10¹² docs per doc pair,
     since only within-pair collisions matter).
-    """
+
+    ``hs`` is BINARY rather than array<long>: the signature table is
+    persisted and scanned by three consumers (band explode + both
+    verify-join probes), and a deserialized cached array column costs
+    an object per element where the packed form is one byte buffer per
+    doc — cheaper to cache, scan, shuffle and Arrow-transfer. The
+    verify kernel reads it back with ``np.frombuffer`` (same machine
+    byte order on both sides of the boundary)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1079,7 +1088,7 @@ def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
         keys_out = [empty] * len(lens)
         for idx, d in enumerate(np.flatnonzero(nz)):
             keys_out[d] = km[idx]
-        hs_out = _segment_unique(flat, lens)
+        hs_out = [a.tobytes() for a in _segment_unique(flat, lens)]
         return pd.DataFrame({"keys": keys_out, "hs": hs_out})
 
     _sig.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
@@ -1088,7 +1097,7 @@ def lsh_signature_udf(k: int = 3, n_hashes: int = 64, bands: int = 16):
         T.StructType(
             [
                 T.StructField("keys", T.ArrayType(T.LongType())),
-                T.StructField("hs", T.ArrayType(T.LongType())),
+                T.StructField("hs", T.BinaryType()),
             ]
         ),
     )
@@ -1231,8 +1240,8 @@ def minhash_lsh_candidates(
             for ia, ib, ha, hb in zip(
                 pdf["id_a"], pdf["id_b"], pdf["_ha"], pdf["_hb"]
             ):
-                ha = np.asarray(ha, dtype=np.int64)
-                hb = np.asarray(hb, dtype=np.int64)
+                ha = np.frombuffer(ha, dtype=np.int64)
+                hb = np.frombuffer(hb, dtype=np.int64)
                 common = np.intersect1d(ha, hb, assume_unique=True).size
                 union = ha.size + hb.size - common
                 # same filter-then-round order as ngram_jaccard_pairs:

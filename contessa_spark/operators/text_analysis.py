@@ -553,8 +553,15 @@ def tfidf_top_terms(
     # collapsing the window stage to 1-2 tasks (measured ~2 s
     # single-core sort over 2.7M rows at sf1.0); an explicit
     # numPartitions is exempt from coalescing and already satisfies the
-    # window's clustering, so no extra exchange appears.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # window's clustering, so no extra exchange appears. Sized by the
+    # LARGER of core count and the session's shuffle partitions so the
+    # anti-coalescing fix never caps parallelism below the cluster's
+    # configured shuffle width at scale.
+    spark = df.sparkSession
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     return (
         scored.repartition(n_part, id_col)
         .withColumn("rank", F.row_number().over(w))
