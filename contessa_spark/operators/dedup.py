@@ -359,13 +359,22 @@ def _segment_unique(flat, lens):
 
 
 def hashed_shingles_udf(k: int = 3):
-    """pandas UDF: text → array<long> of distinct FNV-64 shingle
-    hashes. The inverted-index shuffle then carries 8-byte longs
-    instead of ~20-byte gram strings — ~2× fewer shuffle bytes on the
-    posting lists, which dominate the exact-Jaccard plan at scale.
-    Jaccard over the hash sets equals Jaccard over the string sets
-    unless two distinct shingles of the SAME doc pair FNV-collide
-    (~2⁻⁶⁴ per pair of distinct shingles — negligible)."""
+    """pandas UDF: text → struct(hs: array<long> distinct FNV-64
+    shingle hashes, n: int = len(hs)). The inverted-index shuffle then
+    carries 8-byte longs instead of ~20-byte gram strings — ~2× fewer
+    shuffle bytes on the posting lists, which dominate the
+    exact-Jaccard plan at scale. Jaccard over the hash sets equals
+    Jaccard over the string sets unless two distinct shingles of the
+    SAME doc pair FNV-collide (~2⁻⁶⁴ per pair of distinct shingles —
+    negligible).
+
+    ``n`` rides in the struct instead of a downstream ``size(_sh)``
+    projection: collapsing ``size`` into the UDF's projection made the
+    optimizer materialize a SECOND ``ArrowEvalPython`` below the
+    spread exchange (guide §4.4's duplicated-UDF trap) — the capped
+    path then ran the whole shingle pass twice, once single-core.
+    Struct first, fields second (the established in-repo pattern)
+    keeps it one eval."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -373,10 +382,19 @@ def hashed_shingles_udf(k: int = 3):
 
     def _hs(texts):
         flat, lens = _batch_shingle_hashes(texts, k, _fnv64)
-        return pd.Series(_segment_unique(flat, lens))
+        hs = _segment_unique(flat, lens)
+        return pd.DataFrame({"hs": hs, "n": [len(a) for a in hs]})
 
-    _hs.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_hs, T.ArrayType(T.LongType()))
+    _hs.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        _hs,
+        T.StructType(
+            [
+                T.StructField("hs", T.ArrayType(T.LongType())),
+                T.StructField("n", T.IntegerType()),
+            ]
+        ),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -428,10 +446,18 @@ def ngram_jaccard_pairs(
         )
     import pandas as pd
 
+    # asNondeterministic (guide §4.4): deterministic python UDF
+    # projections get PUSHED THROUGH the caller's round-robin spread
+    # exchange and then re-extracted above it — two ArrowEvalPython
+    # nodes, with the below-exchange one running on the unspread
+    # (often single-split) scan. The UDF is pure; the marking only
+    # pins its evaluation above the exchange (verified: 2 nodes → 1).
     sh = df.select(
         F.col(id_col).alias("_id"),
-        hashed_shingles_udf(k)(F.col(text_col)).alias("_sh"),
-    ).withColumn("_n", F.size("_sh"))
+        hashed_shingles_udf(k).asNondeterministic()(F.col(text_col)).alias("_t"),
+    ).select(
+        "_id", F.col("_t.hs").alias("_sh"), F.col("_t.n").alias("_n")
+    )
     inv = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
     # pairs generated per shingle GROUP (collect the posting list, emit
     # id pairs) — single pass over the inverted index, no self-join, so
@@ -869,8 +895,10 @@ def _ngram_jaccard_pairs_blocked(
     )
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        hashed_shingles_udf(k)(F.col(text_col)).alias("_sh"),
-    ).select("_id", "_sh", F.size("_sh").alias("_n"))
+        hashed_shingles_udf(k).asNondeterministic()(F.col(text_col)).alias("_t"),
+    ).select(
+        "_id", F.col("_t.hs").alias("_sh"), F.col("_t.n").alias("_n")
+    )
     # each doc participates in exactly B block-pairs: (blk, j) as the
     # lower side for j ≥ blk, (j, blk) as the upper side for j < blk
     blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int")
