@@ -47,13 +47,20 @@ def ngram_contamination(
     shuffles besides the per-doc count (partial-aggregated on the
     already-co-located explode output).
     """
-    grams = hashed_shingles_udf(n)
+    # hashed_shingles_udf returns struct(hs, n) since r7 — explode the
+    # hash array field; asNondeterministic pins the UDF above any
+    # caller-side spread exchange (see dedup.py)
+    grams = hashed_shingles_udf(n).asNondeterministic()
+
+    def gram_col(c):
+        return F.explode(grams(c).getField("hs"))
+
     bench_grams = (
-        benchmark.select(F.explode(grams(F.col(bench_text_col))).alias("_g"))
+        benchmark.select(gram_col(F.col(bench_text_col)).alias("_g"))
         .distinct()
     )
     doc_grams = docs.select(
-        F.col(id_col), F.explode(grams(F.col(text_col))).alias("_g")
+        F.col(id_col), gram_col(F.col(text_col)).alias("_g")
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "_g")
