@@ -1872,10 +1872,17 @@ def substring_dedup(
     canonical copy too); the aggregate then needs only the count, not
     the first-occurrence struct.
     """
+    # asNondeterministic: pins the (pure) gram UDF above any caller's
+    # spread exchange — deterministic UDF projections get pushed below
+    # it and re-extracted above, running the whole gram pass twice
+    # (once on the unspread scan); see the same fix on the jaccard
+    # paths (guide §4.4)
     grams = (
         df.select(
             F.col(id_col).alias("_id"),
-            positional_gram_hashes_udf(k)(F.col(text_col)).alias("_ghs"),
+            positional_gram_hashes_udf(k)
+            .asNondeterministic()(F.col(text_col))
+            .alias("_ghs"),
         )
         .select("_id", F.posexplode("_ghs").alias("pos", "gh"))
         .persist()

@@ -155,7 +155,13 @@ def pair_cosine_udf():
             return pd.Series(np.round(num / den, 6))
 
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return F.pandas_udf(_cos, T.DoubleType())
+    # asNondeterministic (guide §4.4): every consumer filters on the
+    # UDF column (NaN drop / threshold), and the optimizer otherwise
+    # duplicates the eval below the pushed filter AND in the projection
+    # — each candidate pair paid the einsum twice (verified: 2
+    # ArrowEvalPython nodes → 1 in all three ANN verify plans). The
+    # function is pure; the marking only stops reorder/duplication.
+    return F.pandas_udf(_cos, T.DoubleType()).asNondeterministic()
 
 
 def brute_force_topk(
@@ -609,7 +615,11 @@ def ivf_topk(
             return pd.Series(order.astype(np.int32).tolist())
 
         _cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-        return F.pandas_udf(_cells, T.ArrayType(T.IntegerType()))
+        # pure; marked non-deterministic so the join/filter on the
+        # derived cell column can't duplicate the GEMM eval (§4.4)
+        return F.pandas_udf(
+            _cells, T.ArrayType(T.IntegerType())
+        ).asNondeterministic()
 
     c_assigned = corpus.withColumn(
         "cell", F.element_at(_probe_udf(1)(F.col("_cv")), 1)
