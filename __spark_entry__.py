@@ -961,10 +961,20 @@ def _doc_substring_dedup_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
     from contessa_spark.operators.dedup import ngram_jaccard_pairs
 
+    # n_docs from the parquet footer (the tfidf trick) — skips the
+    # block-count job; at production scale: the snapshot's row count
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
     return ngram_jaccard_pairs(
-        _spread(_load(spark, sf_dir, "documents"), spark), k=3, threshold=0.1
+        _spread(_load(spark, sf_dir, "documents"), spark),
+        k=3,
+        threshold=0.1,
+        n_docs=n_docs,
     )
 
 
@@ -997,8 +1007,15 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB recursive CTE over the identical pair set
     from contessa_spark.operators.dedup import dedup_components, ngram_jaccard_pairs
 
+    import pyarrow.parquet as pq
+
     docs = _load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(_spread(docs, spark), k=3, threshold=0.1)
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    pairs = ngram_jaccard_pairs(
+        _spread(docs, spark), k=3, threshold=0.1, n_docs=n_docs
+    )
     return dedup_components(pairs, all_ids=docs.select("doc_id"))
 
 

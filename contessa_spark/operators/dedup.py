@@ -406,9 +406,11 @@ def ngram_jaccard_pairs(
     max_df: Optional[int] = None,
     observation=None,
     block_docs: int = 4096,
+    n_docs: Optional[int] = None,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle sets for every pair
-    sharing ≥1 shingle.
+    sharing ≥1 shingle. ``n_docs`` (uncapped path only): corpus row
+    count if already known — skips the block-count job.
 
     Two physical strategies, same output:
 
@@ -442,7 +444,7 @@ def ngram_jaccard_pairs(
     """
     if max_df is None:
         return _ngram_jaccard_pairs_blocked(
-            df, id_col, text_col, k, threshold, block_docs
+            df, id_col, text_col, k, threshold, block_docs, n_docs
         )
     import pandas as pd
 
@@ -877,17 +879,21 @@ def _ngram_jaccard_pairs_blocked(
     k: int,
     threshold: float,
     block_docs: int,
+    n_docs: Optional[int] = None,
 ) -> DataFrame:
     """Uncapped exact-Jaccard pairs via block-pair local counting (see
     ``ngram_jaccard_pairs``). B is derived from the corpus size (one
-    cheap column-pruned count) so blocks stay ≤ ``block_docs`` docs,
-    with a parallelism floor of ~√(2·defaultParallelism) blocks
-    (≈ 2× cores worth of block-pair tasks) — scale-adaptive, never a
-    constant tuned to one cluster size."""
+    cheap column-pruned count — or pass ``n_docs`` when the caller
+    already knows it, e.g. from a parquet footer or snapshot stats,
+    to skip that job) so blocks stay ≤ ``block_docs`` docs, with a
+    parallelism floor of ~√(2·defaultParallelism) blocks (≈ 2× cores
+    worth of block-pair tasks) — scale-adaptive, never a constant
+    tuned to one cluster size."""
     import math
 
     sc = df.sparkSession.sparkContext
-    n_docs = df.select(id_col).count()
+    if n_docs is None:
+        n_docs = df.select(id_col).count()
     b_par = math.ceil(math.sqrt(2 * sc.defaultParallelism))
     B = min(
         max(math.ceil(n_docs / block_docs), b_par),
